@@ -1,0 +1,14 @@
+"""Test configuration: force CPU backend with 8 virtual devices.
+
+Tests run on an 8-device virtual CPU mesh so multi-chip sharding paths
+(`parallel/`) are exercised without TPU hardware. Set before jax import.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()

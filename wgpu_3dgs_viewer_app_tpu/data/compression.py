@@ -1,0 +1,158 @@
+"""On-the-fly quantized compression configs (the `GaussianPod` system).
+
+Parity with reference:
+- 8 concrete pod layouts `GaussianPodWithSh{Single|Half|Norm8|None}Cov3d
+  {Single|Half}Configs` — dispatch at `src/tab/scene.rs:23-81`, size math at
+  `src/app.rs:352-384`.
+- Field split: position f32x3 and color u8x4 uncompressed; SH rest and cov3d
+  compressed per config (`src/tab/scene.rs:907-1006`).
+- Defaults: SH Norm8 + Cov3d Half (`src/app.rs:398-417`).
+
+TPU-native design: the Rust crate monomorphizes 8 pod struct layouts at
+compile time. Here a config is *data* — per-field dtype policy on a pytree of
+device arrays. jit re-specializes the render function per dtype combination,
+which is the XLA equivalent of monomorphization, with zero macro machinery.
+
+Device layout per model (struct of arrays):
+  pos     (N, 3) f32
+  color0  (N, 4) u8    — rgb = clamp(0.5 + C0*sh0), a = sigmoid(opacity)
+  sh      SH-rest coefficients per config:
+            SINGLE (N, 45) f32 | HALF (N, 45) f16 |
+            NORM8 (N, 45) u8 + (N, 2) f32 min/max | REMOVE absent
+  cov3d   (N, 6) f32 or f16 — precomputed R S S^T R^T uniques
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.covariance import cov3d_from_scale_rot
+from ..core.sh import SH_C0
+from .gaussian import Gaussians, sigmoid
+
+
+class ShCompression(enum.Enum):
+    """Ref `ShCompression` (`src/app.rs:386-404`); default NORM8."""
+
+    SINGLE = "single"
+    HALF = "half"
+    NORM8 = "norm8"
+    REMOVE = "remove"
+
+
+class Cov3dCompression(enum.Enum):
+    """Ref `Cov3dCompression` (`src/app.rs:406-418`); default HALF."""
+
+    SINGLE = "single"
+    HALF = "half"
+
+
+# Per-splat byte sizes of each field in *our* device layout.
+POS_FIELD_SIZE = 12
+COLOR_FIELD_SIZE = 4
+SH_FIELD_SIZES = {
+    ShCompression.SINGLE: 45 * 4,
+    ShCompression.HALF: 45 * 2,
+    ShCompression.NORM8: 45 * 1 + 8,  # u8 coeffs + f32 min/max
+    ShCompression.REMOVE: 0,
+}
+COV3D_FIELD_SIZES = {
+    Cov3dCompression.SINGLE: 6 * 4,
+    Cov3dCompression.HALF: 6 * 2,
+}
+
+
+@dataclasses.dataclass(frozen=True)
+class Compressions:
+    """Compression selection. Ref `Compressions` (`src/app.rs:342-384`)."""
+
+    sh: ShCompression = ShCompression.NORM8
+    cov3d: Cov3dCompression = Cov3dCompression.HALF
+
+    def bytes_per_splat(self) -> int:
+        return (
+            POS_FIELD_SIZE
+            + COLOR_FIELD_SIZE
+            + SH_FIELD_SIZES[self.sh]
+            + COV3D_FIELD_SIZES[self.cov3d]
+        )
+
+    def compressed_size(self, gaussian_count: int) -> int:
+        """Total compressed byte size. Ref `Compressions::compressed_size`
+        (`src/app.rs:352-384`)."""
+        return gaussian_count * self.bytes_per_splat()
+
+
+ALL_COMPRESSIONS = tuple(
+    Compressions(sh=s, cov3d=c) for s in ShCompression for c in Cov3dCompression
+)
+
+
+def pack_gaussians(g: Gaussians, comp: Compressions) -> dict:
+    """Host-side pack: raw SoA -> compressed pod arrays (numpy).
+
+    This is the CPU->pod compression applied on upload
+    (`gaussians_buffer.update_range`, ref `src/tab/scene.rs:2076-2084`).
+    """
+    n = g.count
+    pos = g.pos.astype(np.float32)
+    rgb = np.clip(0.5 + SH_C0 * g.sh0, 0.0, 1.0)
+    alpha = sigmoid(g.opacity)
+    color0 = np.empty((n, 4), np.uint8)
+    color0[:, :3] = np.round(rgb * 255.0).astype(np.uint8)
+    color0[:, 3] = np.round(alpha * 255.0).astype(np.uint8)
+
+    sh_flat = g.sh_rest.reshape(n, 45).astype(np.float32)
+    out = {"pos": pos, "color0": color0}
+    if comp.sh == ShCompression.SINGLE:
+        out["sh"] = sh_flat
+    elif comp.sh == ShCompression.HALF:
+        out["sh"] = sh_flat.astype(np.float16)
+    elif comp.sh == ShCompression.NORM8:
+        mn = sh_flat.min(axis=1) if n else np.zeros(0, np.float32)
+        mx = sh_flat.max(axis=1) if n else np.zeros(0, np.float32)
+        span = np.maximum(mx - mn, 1e-12)
+        q = np.round((sh_flat - mn[:, None]) / span[:, None] * 255.0).astype(np.uint8)
+        out["sh"] = q
+        out["sh_minmax"] = np.stack([mn, mx], axis=1).astype(np.float32)
+    # REMOVE: no sh field.
+
+    scale_lin = np.exp(g.scale.astype(np.float32))
+    cov6 = np.asarray(cov3d_from_scale_rot(jnp.asarray(scale_lin), jnp.asarray(g.rot)))
+    if comp.cov3d == Cov3dCompression.SINGLE:
+        out["cov3d"] = cov6.astype(np.float32)
+    else:
+        out["cov3d"] = cov6.astype(np.float16)
+    return out
+
+
+def unpack_sh(pod: dict, comp: Compressions) -> jnp.ndarray:
+    """Device-side dequantization: pod sh field -> (N, 15, 3) f32.
+
+    Fuses into the preprocess under jit (u8 -> f32 on the VPU).
+    """
+    n = pod["pos"].shape[0]
+    if comp.sh == ShCompression.REMOVE:
+        return jnp.zeros((n, 15, 3), jnp.float32)
+    sh = pod["sh"]
+    if comp.sh == ShCompression.NORM8:
+        mn = pod["sh_minmax"][:, 0:1]
+        mx = pod["sh_minmax"][:, 1:2]
+        shf = sh.astype(jnp.float32) / 255.0 * (mx - mn) + mn
+    else:
+        shf = sh.astype(jnp.float32)
+    return shf.reshape(n, 15, 3)
+
+
+def unpack_cov3d(pod: dict) -> jnp.ndarray:
+    return pod["cov3d"].astype(jnp.float32)
+
+
+def unpack_color0(pod: dict) -> tuple:
+    """color0 u8x4 -> (rgb (N,3) f32, alpha (N,) f32)."""
+    c = pod["color0"].astype(jnp.float32) / 255.0
+    return c[:, :3], c[:, 3]

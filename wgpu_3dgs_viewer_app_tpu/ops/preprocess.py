@@ -1,0 +1,225 @@
+"""Fused per-splat preprocess: the TPU equivalent of the crate's
+`Preprocessor` compute pass (driven at reference `src/tab/scene.rs:856-863`,
+16-buffer contract at `src/tab/scene.rs:1835-1852`).
+
+One jit-fused elementwise pass over all N splats computing, per splat:
+  model+view transform -> frustum cull -> 3D cov -> 2D conic (EWA) ->
+  SH->RGB for the active degree -> mask gate -> per-splat edit ->
+  selection edit + highlight -> depth key
+No compaction: XLA wants static shapes, so culled splats carry valid=False
+and zero alpha; the binning stage drops them from the sort by keying them to
+the sentinel bucket (SURVEY §7 hard-part (3)).
+
+Everything here is elementwise/small-matmul over (N, ...) arrays: XLA fuses
+it into a handful of VPU kernels; no Pallas needed for this stage.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..core.covariance import cov2d_to_conic_radius, project_cov3d_to_cov2d
+from ..core.edit import apply_edit
+from ..core.sh import eval_sh
+from ..data.compression import Compressions, unpack_color0, unpack_cov3d, unpack_sh
+
+ALPHA_EPS = 1.0 / 255.0
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class PreprocessOut:
+    """Per-splat screen-space quantities (all (N, ...), f32 unless noted)."""
+
+    mean2d: jnp.ndarray  # (N, 2) pixel coords
+    conic: jnp.ndarray   # (N, 3) inverse 2D covariance (A, B, C)
+    rgb: jnp.ndarray     # (N, 3)
+    alpha: jnp.ndarray   # (N,) opacity after edits/gates
+    depth: jnp.ndarray   # (N,) view-space depth (>0 in front)
+    radius: jnp.ndarray  # (N,) pixel radius (3 sigma)
+    valid: jnp.ndarray   # (N,) bool — survives culling/gating
+
+    def tree_flatten(self):
+        return (
+            (self.mean2d, self.conic, self.rgb, self.alpha, self.depth, self.radius, self.valid),
+            None,
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+def camera_position_from_view(view: jnp.ndarray) -> jnp.ndarray:
+    """Camera world position from a rigid view matrix: -R^T t."""
+    r = view[:3, :3]
+    t = view[:3, 3]
+    return -r.T @ t
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("comp", "sh_degree", "no_sh0", "width", "height", "display_mode"),
+)
+def preprocess(
+    pod: dict,
+    comp: Compressions,
+    view: jnp.ndarray,
+    proj: jnp.ndarray,
+    model: jnp.ndarray,
+    width: int,
+    height: int,
+    sh_degree: int = 3,
+    no_sh0: bool = False,
+    size: float = 1.0,
+    display_mode: int = 0,
+    z_near: float = 0.1,
+    z_far: float = 1e4,
+    mask_bits: Optional[jnp.ndarray] = None,
+    edit: Optional[tuple] = None,
+    selection_bits: Optional[jnp.ndarray] = None,
+    selection_edit: Optional[tuple] = None,
+    highlight_rgba: Optional[jnp.ndarray] = None,
+) -> PreprocessOut:
+    """The fused preprocess pass.
+
+    pod: compressed device arrays (see data/compression.py).
+    view/proj: (4, 4) f32; model: (4, 4) f32 model matrix (TRS).
+    edit: optional per-splat (flags (N,), rgb (N,3), params (N,4)).
+    selection_edit: optional scene-wide (flags (), rgb (3,), params (4,))
+        applied to splats whose selection bit is set
+        (ref `update_selection_edit_with_pod`, `src/tab/scene.rs:815-829`).
+    highlight_rgba: optional (4,) selection highlight tint
+        (ref `SelectionHighlightPod`, applied in the crate's render stage).
+    mask_bits/selection_bits: (N,) uint8/bool gates
+        (ref mask_buffer / selection_buffer, `src/tab/scene.rs:1848-1851`).
+    """
+    pos = pod["pos"]
+    n = pos.shape[0]
+    color0_rgb, color0_a = unpack_color0(pod)
+    cov6 = unpack_cov3d(pod)
+
+    # --- model transform ---
+    m3 = model[:3, :3]
+    p_world = pos @ m3.T + model[:3, 3]
+    # Covariance transforms with the linear part: Sigma' = M3 Sigma M3^T.
+    # The gaussian `size` multiplier scales the splat extent (sigma *= size),
+    # i.e. Sigma *= size^2, applied before the screen-space dilation.
+    sig = _unpack6(cov6)
+    sig_w = m3 @ sig @ m3.T
+    s2 = jnp.float32(size) * jnp.float32(size)
+    cov6_w = _pack6(sig_w) * s2
+
+    # --- view transform + depth ---
+    v3 = view[:3, :3]
+    t_view = p_world @ v3.T + view[:3, 3]
+    depth = -t_view[:, 2]
+
+    # --- projection to pixels ---
+    fx = 0.5 * width * proj[0, 0]
+    fy = 0.5 * height * proj[1, 1]
+    tan_half_fov_x = 1.0 / proj[0, 0]
+    tan_half_fov_y = 1.0 / proj[1, 1]
+    d = jnp.maximum(depth, 1e-6)
+    ndc_x = proj[0, 0] * t_view[:, 0] / d
+    ndc_y = proj[1, 1] * t_view[:, 1] / d
+    px = (ndc_x * 0.5 + 0.5) * width
+    py = (0.5 - ndc_y * 0.5) * height
+    mean2d = jnp.stack([px, py], -1)
+
+    # --- 2D covariance / conic ---
+    cov2d = project_cov3d_to_cov2d(
+        cov6_w, t_view, v3, (fx, fy), (tan_half_fov_x, tan_half_fov_y)
+    )
+    conic, radius, det_ok = cov2d_to_conic_radius(cov2d)
+    if display_mode == 2:
+        # POINT: fixed pixel radius flat disc. Conic is set so that the
+        # compositor's flat-threshold test (power >= -2) equals dist <= r:
+        # power = -0.5 * (A dx^2 + C dy^2) with A = C = 4 / r^2.
+        r_pt = float(max(2.0 * size, 1.0))
+        radius = jnp.full_like(radius, r_pt)
+        inv = 4.0 / (r_pt * r_pt)
+        conic = jnp.broadcast_to(
+            jnp.array([inv, 0.0, inv], jnp.float32), conic.shape
+        )
+
+    # --- SH -> RGB ---
+    cam_pos = camera_position_from_view(view)
+    if sh_degree >= 1:
+        sh_rest = unpack_sh(pod, comp)
+        dirs = p_world - cam_pos
+        dirs = dirs / jnp.maximum(jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-9)
+        # Degree-0 term comes from the u8 color0 (0.5 + C0*sh0 pre-baked).
+        rgb = eval_sh(jnp.zeros_like(color0_rgb), sh_rest, dirs, sh_degree, no_sh0=True)
+        rgb = rgb + (color0_rgb if not no_sh0 else 0.5)
+    else:
+        rgb = color0_rgb if not no_sh0 else jnp.full_like(color0_rgb, 0.5)
+    rgb = jnp.clip(rgb, 0.0, 1.0)
+    alpha = color0_a
+
+    # --- gates + edits ---
+    valid = det_ok & (depth > z_near) & (depth < z_far)
+    if mask_bits is not None:
+        valid = valid & (mask_bits.astype(jnp.bool_))
+    if edit is not None:
+        e_flags, e_rgb, e_params = edit
+        rgb, alpha, hidden = apply_edit(rgb, alpha, e_flags.astype(jnp.uint32), e_rgb, e_params)
+        valid = valid & ~hidden
+    if selection_bits is not None and selection_edit is not None:
+        s_flags, s_rgb, s_params = selection_edit
+        sel = selection_bits.astype(jnp.bool_)
+        nf = jnp.where(sel, jnp.asarray(s_flags, jnp.uint32), jnp.uint32(0))
+        rgb2, alpha2, hidden2 = apply_edit(
+            rgb, alpha, nf, jnp.broadcast_to(s_rgb, rgb.shape), jnp.broadcast_to(s_params, (n, 4))
+        )
+        rgb, alpha = rgb2, alpha2
+        valid = valid & ~hidden2
+    if selection_bits is not None and highlight_rgba is not None:
+        sel = selection_bits.astype(jnp.bool_)[:, None]
+        hl = jnp.asarray(highlight_rgba, jnp.float32)
+        rgb = jnp.where(sel, rgb * (1.0 - hl[3]) + hl[:3] * hl[3], rgb)
+
+    # --- frustum cull in screen space ---
+    margin = radius
+    on_screen = (
+        (mean2d[:, 0] + margin > 0)
+        & (mean2d[:, 0] - margin < width)
+        & (mean2d[:, 1] + margin > 0)
+        & (mean2d[:, 1] - margin < height)
+    )
+    valid = valid & on_screen & (alpha > ALPHA_EPS) & (radius > 0)
+    alpha = jnp.where(valid, alpha, 0.0)
+
+    return PreprocessOut(
+        mean2d=mean2d,
+        conic=conic,
+        rgb=rgb,
+        alpha=alpha,
+        depth=depth,
+        radius=radius,
+        valid=valid,
+    )
+
+
+def _unpack6(c6):
+    xx, xy, xz, yy, yz, zz = (c6[..., i] for i in range(6))
+    return jnp.stack(
+        [
+            jnp.stack([xx, xy, xz], -1),
+            jnp.stack([xy, yy, yz], -1),
+            jnp.stack([xz, yz, zz], -1),
+        ],
+        -2,
+    )
+
+
+def _pack6(s):
+    return jnp.stack(
+        [s[..., 0, 0], s[..., 0, 1], s[..., 0, 2], s[..., 1, 1], s[..., 1, 2], s[..., 2, 2]],
+        -1,
+    )
