@@ -1,0 +1,122 @@
+"""Benchmark harness — BASELINE.json configs on the local accelerator.
+
+Prints ONE summary JSON line:
+  {"metric": "fps_1080p_6m_splats", "value": N, "unit": "fps", "vs_baseline": N}
+
+vs_baseline is against the driver-assigned target of 60 FPS @1080p on a
+~6M-splat scene per chip (BASELINE.md; the reference publishes no numbers).
+
+Extra per-config results go to stderr so stdout stays a single JSON line.
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def build(n, w, h, sh_degree, display_mode, tile=16, max_dup=8, seed=0):
+    from wgpu_3dgs_viewer_app_tpu.core import CameraOrbitControl
+    from wgpu_3dgs_viewer_app_tpu.data import Compressions, make_random_scene, pack_gaussians
+    from wgpu_3dgs_viewer_app_tpu.ops import TileConfig
+
+    comp = Compressions()
+    scene = make_random_scene(n, seed=seed, extent=2.0, scale_range=(0.004, 0.02))
+    pod = {k: jnp.asarray(v) for k, v in pack_gaussians(scene, comp).items()}
+    cam = CameraOrbitControl(target=(0, 0, 0), pos=(0, 0, -6))
+    view = jnp.asarray(cam.view())
+    proj = jnp.asarray(cam.projection(w / h))
+    cfg = TileConfig(w, h, tile=tile, max_dup=max_dup)
+    return comp, pod, view, proj, cfg
+
+
+def frame_fn(comp, cfg, sh_degree, display_mode, use_pallas):
+    from wgpu_3dgs_viewer_app_tpu.ops import (
+        build_entry_planes,
+        build_tile_lists,
+        composite_tiles_jnp,
+        composite_tiles_pallas,
+        preprocess,
+    )
+
+    def step(pod, view, proj):
+        pre = preprocess(
+            pod, comp, view, proj, jnp.eye(4), cfg.width, cfg.height,
+            sh_degree=sh_degree, display_mode=display_mode,
+        )
+        lists = build_tile_lists(pre, cfg)
+        planes = build_entry_planes(pre, lists, cfg)
+        flat = display_mode != 0
+        if use_pallas:
+            return composite_tiles_pallas(planes, cfg, flat_mode=flat)
+        return composite_tiles_jnp(planes, cfg, flat_mode=flat)
+
+    return step
+
+
+def time_frames(step, args, iters=10, warmup=2):
+    for _ in range(warmup):
+        step(*args).block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = step(*args)
+    out.block_until_ready()
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true", help="small scene only (CI/CPU)")
+    ap.add_argument("--splats", type=int, default=None)
+    args = ap.parse_args()
+
+    backend = jax.default_backend()
+    use_pallas = backend == "tpu"
+    log(f"backend={backend} devices={jax.devices()} use_pallas={use_pallas}")
+
+    results = {}
+
+    # Config 0: synthetic 50k, 800x600-ish, point mode, SH0 (CPU-runnable).
+    comp, pod, view, proj, cfg = build(50_000, 800, 608, 0, 2)
+    step = frame_fn(comp, cfg, 0, 2, use_pallas)
+    dt = time_frames(step, (pod, view, proj), iters=5 if args.quick else 10)
+    results["config0_50k_point_fps"] = 1.0 / dt
+    log(f"config0 (50k point 800x608): {dt*1000:.2f} ms = {1/dt:.1f} fps")
+
+    if args.quick or backend != "tpu":
+        fps = results["config0_50k_point_fps"]
+        print(json.dumps({
+            "metric": "fps_800x608_50k_splats_point",
+            "value": round(fps, 2),
+            "unit": "fps",
+            "vs_baseline": round(fps / 60.0, 3),
+        }))
+        return
+
+    # Config 1: ~6M splats, 1080p, ellipse... headline uses splat mode + SH3
+    # (ellipse flat mode is cheaper; splat mode is the honest headline).
+    n = args.splats or 6_000_000
+    comp, pod, view, proj, cfg = build(n, 1920, 1088, 3, 0)
+    step = frame_fn(comp, cfg, 3, 0, use_pallas)
+    dt = time_frames(step, (pod, view, proj), iters=10)
+    fps = 1.0 / dt
+    results["config1_6m_1080p_fps"] = fps
+    log(f"config1 ({n} splat 1080p SH3): {dt*1000:.2f} ms = {fps:.1f} fps")
+
+    print(json.dumps({
+        "metric": "fps_1080p_6m_splats",
+        "value": round(fps, 2),
+        "unit": "fps",
+        "vs_baseline": round(fps / 60.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,146 @@
+"""Data layer tests: PLY round-trip, compression configs, size math.
+
+Reference test strategy is absent (SURVEY §4) — these cover the pure logic
+the reference has as testable functions: PLY round-trip (`src/app.rs:896-947`)
+and compressed-size math (`src/app.rs:352-384`).
+"""
+
+import io
+
+import numpy as np
+import pytest
+
+from wgpu_3dgs_viewer_app_tpu.data import (
+    ALL_COMPRESSIONS,
+    Compressions,
+    Cov3dCompression,
+    PLY_GAUSSIAN_POD_SIZE,
+    ShCompression,
+    make_random_scene,
+    pack_gaussians,
+    read_ply,
+    read_ply_chunks,
+    read_ply_header,
+    unpack_color0,
+    unpack_cov3d,
+    unpack_sh,
+    write_ply,
+)
+from wgpu_3dgs_viewer_app_tpu.data.gaussian import Gaussians
+
+
+def test_pod_size_is_248_bytes():
+    assert PLY_GAUSSIAN_POD_SIZE == 248  # ref PlyGaussianPod (62 f32)
+
+
+def test_pod_records_roundtrip():
+    g = make_random_scene(100, seed=3)
+    rec = g.to_pod_records()
+    g2 = Gaussians.from_pod_records(rec)
+    for f in ("pos", "normal", "sh0", "sh_rest", "opacity", "scale", "rot"):
+        np.testing.assert_array_equal(getattr(g, f), getattr(g2, f))
+
+
+def test_ply_write_read_roundtrip():
+    g = make_random_scene(257, seed=1)
+    buf = io.BytesIO()
+    n = write_ply(buf, g)
+    assert n == 257
+    buf.seek(0)
+    g2 = read_ply(buf)
+    np.testing.assert_allclose(g.pos, g2.pos, rtol=0, atol=0)
+    np.testing.assert_allclose(g.sh_rest, g2.sh_rest)
+    np.testing.assert_allclose(g.rot, g2.rot)
+
+
+def test_ply_header_first_streaming():
+    g = make_random_scene(1000, seed=2)
+    buf = io.BytesIO()
+    write_ply(buf, g)
+    buf.seek(0)
+    header = read_ply_header(buf)
+    assert header.count == 1000  # count known before any splat is read
+    chunks = list(read_ply_chunks(buf, header, chunk_size=300))
+    assert [c.count for c in chunks] == [300, 300, 300, 100]
+    merged = Gaussians.concat(chunks)
+    np.testing.assert_array_equal(merged.pos, g.pos)
+
+
+def test_ply_mask_filter_on_export():
+    g = make_random_scene(50, seed=4)
+    mask = np.zeros(50, bool)
+    mask[:20] = True
+    buf = io.BytesIO()
+    n = write_ply(buf, g, mask=mask)
+    assert n == 20
+    buf.seek(0)
+    g2 = read_ply(buf)
+    np.testing.assert_array_equal(g2.pos, g.pos[:20])
+
+
+def test_ply_rejects_garbage():
+    from wgpu_3dgs_viewer_app_tpu.data import PlyError
+
+    with pytest.raises(PlyError):
+        read_ply_header(io.BytesIO(b"not a ply\n"))
+
+
+def test_compressed_sizes_ordering():
+    # Default = Norm8 SH + Half cov3d (ref src/app.rs:398-417).
+    default = Compressions()
+    assert default.sh == ShCompression.NORM8
+    assert default.cov3d == Cov3dCompression.HALF
+    full = Compressions(ShCompression.SINGLE, Cov3dCompression.SINGLE)
+    none = Compressions(ShCompression.REMOVE, Cov3dCompression.HALF)
+    n = 1000
+    assert none.compressed_size(n) < default.compressed_size(n) < full.compressed_size(n)
+    # All 8 configs exist and shrink vs the raw pod.
+    assert len(ALL_COMPRESSIONS) == 8
+    for c in ALL_COMPRESSIONS:
+        assert c.compressed_size(n) < n * PLY_GAUSSIAN_POD_SIZE
+
+
+@pytest.mark.parametrize("comp", ALL_COMPRESSIONS, ids=lambda c: f"{c.sh.value}-{c.cov3d.value}")
+def test_pack_unpack_fidelity(comp):
+    import jax.numpy as jnp
+
+    g = make_random_scene(64, seed=5)
+    pod = {k: jnp.asarray(v) for k, v in pack_gaussians(g, comp).items()}
+    rgb, alpha = unpack_color0(pod)
+    assert rgb.shape == (64, 3) and alpha.shape == (64,)
+    sh = unpack_sh(pod, comp)
+    assert sh.shape == (64, 15, 3)
+    if comp.sh == ShCompression.SINGLE:
+        np.testing.assert_allclose(np.asarray(sh), g.sh_rest, atol=1e-6)
+    elif comp.sh == ShCompression.HALF:
+        np.testing.assert_allclose(np.asarray(sh), g.sh_rest, atol=2e-3)
+    elif comp.sh == ShCompression.NORM8:
+        span = g.sh_rest.reshape(64, -1).ptp(axis=1).max()
+        np.testing.assert_allclose(np.asarray(sh), g.sh_rest, atol=span / 255 + 1e-6)
+    else:
+        np.testing.assert_array_equal(np.asarray(sh), 0)
+    cov = unpack_cov3d(pod)
+    assert cov.shape == (64, 6)
+
+
+def test_bake_edits_hidden_and_alpha():
+    import jax.numpy as jnp  # noqa: F401
+    from wgpu_3dgs_viewer_app_tpu.core import (
+        EDIT_FLAG_ENABLED,
+        EDIT_FLAG_HIDDEN,
+    )
+    from wgpu_3dgs_viewer_app_tpu.data import bake_edits, sigmoid
+
+    g = make_random_scene(10, seed=6)
+    flags = np.zeros(10, np.uint32)
+    flags[0] = EDIT_FLAG_ENABLED | EDIT_FLAG_HIDDEN
+    flags[1] = EDIT_FLAG_ENABLED
+    rgb = np.tile(np.array([0.0, 1.0, 1.0], np.float32), (10, 1))
+    params = np.tile(np.array([0.0, 0.0, 1.0, 0.5], np.float32), (10, 1))  # alpha 0.5
+    out, keep = bake_edits(g, flags, rgb, params)
+    assert not keep[0] and keep[1:].all()
+    np.testing.assert_allclose(
+        sigmoid(out.opacity[1]), sigmoid(g.opacity[1]) * 0.5, rtol=1e-4
+    )
+    # untouched splats identical
+    np.testing.assert_array_equal(out.opacity[2:], g.opacity[2:])

@@ -9,6 +9,6 @@ re-designed TPU-first (fused XLA preprocess, tile-binned sort, Pallas
 VMEM compositor, shard_map multi-chip scaling).
 """
 
-from . import core, data, ops, utils
+from . import app, core, data, mask, ops, parallel, query, utils, viewer
 
 __version__ = "0.1.0"

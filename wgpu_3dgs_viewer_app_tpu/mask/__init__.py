@@ -1,0 +1,15 @@
+from .evaluate import MaskEvaluator, evaluate_mask_numpy
+from .expr import MaskOp, MaskParseError, parse
+from .shapes import MaskOpShapePod, MaskShape, MaskShapeKind, shape_contains
+
+__all__ = [
+    "MaskEvaluator",
+    "evaluate_mask_numpy",
+    "MaskOp",
+    "MaskParseError",
+    "parse",
+    "MaskOpShapePod",
+    "MaskShape",
+    "MaskShapeKind",
+    "shape_contains",
+]

@@ -1,4 +1,10 @@
-from .binning import TileConfig, TileLists, build_tile_lists, gather_entries
+from .binning import (
+    EntryPlanes,
+    TileConfig,
+    TileLists,
+    build_entry_planes,
+    build_tile_lists,
+)
 from .composite import (
     composite_tiles,
     composite_tiles_jnp,
@@ -9,10 +15,11 @@ from .preprocess import PreprocessOut, preprocess
 from .rasterize_ref import rasterize_reference
 
 __all__ = [
+    "EntryPlanes",
     "TileConfig",
     "TileLists",
+    "build_entry_planes",
     "build_tile_lists",
-    "gather_entries",
     "composite_tiles",
     "composite_tiles_jnp",
     "composite_tiles_pallas",

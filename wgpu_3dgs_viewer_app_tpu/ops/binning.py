@@ -143,41 +143,85 @@ def build_tile_lists(pre: PreprocessOut, cfg: TileConfig) -> TileLists:
     )
 
 
-def gather_entries(pre: PreprocessOut, lists: TileLists, pad_multiple: int = 128) -> jnp.ndarray:
-    """Gather per-entry packed splat data in sorted order.
+# Entries per packed row == VPU lane width. Each chunk the compositor
+# consumes is exactly one row of every field plane.
+ROW = 128
 
-    Returns (E_padded, 8) f32: [mx, my, conicA, conicB, conicC, r, g, b] with
-    alpha folded separately? No — layout is
-    [mx, my, A, B, C, alpha, ...rgb packed below]; see PACKED_* indices.
+# Field-plane order in the packed entry tensor.
+PLANE_FIELDS = ("mean_x", "mean_y", "conic_a", "conic_b", "conic_c", "alpha", "r", "g", "b")
+N_PLANES = len(PLANE_FIELDS)
 
-    Packed row layout (f32 x 8):
-      0: mean_x  1: mean_y  2: conic_A  3: conic_B  4: conic_C
-      5: alpha   6..8 would overflow — rgb stored in a second (E, 4) array.
 
-    To keep DMA rows 128-lane friendly the compositor consumes two arrays:
-      geom (E, 8):  mx, my, A, B, C, alpha, 0, 0
-      color (E, 4): r, g, b, 0
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class EntryPlanes:
+    """TPU-native sorted entry storage.
+
+    Mosaic wants HBM slices 128-lane aligned, so entries are packed 128 per
+    row with each splat field on its own plane:
+
+        ent (9, R, 128) f32 — planes mx, my, A, B, C, alpha, r, g, b
+
+    and every tile's run starts on a row boundary (runs padded to a multiple
+    of 128 with zero-alpha entries). A compositor chunk = one (9, 1, 128)
+    row DMA, always aligned.
     """
-    idx = lists.sorted_idx
-    e = idx.shape[0]
-    # Always leave at least one full chunk of zero-alpha slack so the
-    # compositor's fixed-size chunk loads never run off the end.
-    pad = ((-e) % pad_multiple) + pad_multiple
-    geom = jnp.concatenate(
-        [
-            pre.mean2d,
-            pre.conic,
-            pre.alpha[:, None],
-            jnp.zeros((pre.alpha.shape[0], 2), jnp.float32),
-        ],
-        axis=1,
+
+    ent: jnp.ndarray          # (9, R, 128) f32
+    row_starts: jnp.ndarray   # (n_tiles,) i32 — first packed row of each tile
+    tile_counts: jnp.ndarray  # (n_tiles,) i32 — live entries per tile
+
+    def tree_flatten(self):
+        return ((self.ent, self.row_starts, self.tile_counts), None)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def build_entry_planes(pre: PreprocessOut, lists: TileLists, cfg: TileConfig) -> EntryPlanes:
+    """Gather sorted splat data into the 128-aligned field-plane layout."""
+    e = lists.sorted_idx.shape[0]
+    n_tiles = cfg.n_tiles
+    counts = lists.tile_counts
+    aligned_counts = ((counts + ROW - 1) // ROW) * ROW
+    aligned_starts = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(aligned_counts)]
+    ).astype(jnp.int32)  # (n_tiles + 1,)
+
+    # Static capacity: every tile may need up to ROW-1 padding entries.
+    e_al = ((e + ROW - 1) // ROW) * ROW + ROW * n_tiles
+    n_rows = e_al // ROW
+
+    # Tile ownership is resolved per *row* (every tile's run is row-aligned),
+    # keeping the expensive per-slot work to two large gathers.
+    row_ids = jnp.arange(n_rows, dtype=jnp.int32)
+    row_t = jnp.clip(
+        jnp.searchsorted(aligned_starts // ROW, row_ids, side="right").astype(jnp.int32) - 1,
+        0,
+        n_tiles - 1,
     )
-    color = jnp.concatenate(
-        [pre.rgb, jnp.zeros((pre.rgb.shape[0], 1), jnp.float32)], axis=1
+    # Per-row offsets into the unaligned sorted-entry array.
+    row_delta = (lists.tile_starts - aligned_starts[:-1])[row_t]  # (n_rows,)
+    row_end = (lists.tile_starts + counts)[row_t]
+
+    j = row_ids[:, None] * ROW + jnp.arange(ROW, dtype=jnp.int32)[None, :]
+    src_slot = j + row_delta[:, None]
+    live = (src_slot < row_end[:, None]).reshape(-1)
+    src_slot = jnp.clip(src_slot.reshape(-1), 0, e - 1)
+    src = jnp.where(live, lists.sorted_idx[src_slot], 0)
+
+    # Row-major (N, 9) field matrix: the gather pulls contiguous 36 B rows.
+    fields = jnp.concatenate(
+        [pre.mean2d, pre.conic, pre.alpha[:, None], pre.rgb], axis=1
+    )  # (N, 9): mx, my, A, B, C, alpha, r, g, b
+    gathered = jnp.take(fields, src, axis=0)  # (E_al, 9)
+    # Dead/padding slots are exact no-ops: alpha = 0.
+    gathered = gathered.at[:, 5].set(jnp.where(live, gathered[:, 5], 0.0))
+    ent = gathered.T.reshape(N_PLANES, e_al // ROW, ROW)
+    return EntryPlanes(
+        ent=ent,
+        row_starts=aligned_starts[:-1] // ROW,
+        tile_counts=counts,
     )
-    geom_s = jnp.take(geom, idx, axis=0)
-    color_s = jnp.take(color, idx, axis=0)
-    if pad:
-        geom_s = jnp.concatenate([geom_s, jnp.zeros((pad, 8), jnp.float32)])
-        color_s = jnp.concatenate([color_s, jnp.zeros((pad, 4), jnp.float32)])
-    return geom_s, color_s

@@ -7,24 +7,24 @@ Design (BASELINE.json north star: "tile-local front-to-back compositing
 kernel accumulating in VMEM"):
 
 - Screen is cut into `tile x tile` pixel tiles; binning (ops/binning.py)
-  provides per-tile front-to-back splat runs.
-- Per tile, splats stream through VMEM in chunks of CHUNK. For each chunk we
-  build the (CHUNK, P) alpha matrix on the VPU, then recover per-splat
-  transmittance with a *parallel* Hillis-Steele cumulative product along the
-  splat axis (order-independent-transmittance formulation — compositing
-  becomes `rgb += (T_carry * cumprod_excl(1-a) * a)^T @ colors`, a clean
-  matmul/reduction instead of a serial pixel blend; cf. PAPERS.md
+  provides per-tile front-to-back splat runs in a 128-aligned field-plane
+  layout (`EntryPlanes`): one compositor chunk == one (9, 1, 128) row DMA.
+- Compute shape is (P pixels on sublanes, 128 entries on lanes). Per chunk
+  the (P, 128) alpha matrix is built on the VPU, then per-entry transmittance
+  is recovered with a *parallel* Hillis-Steele cumulative product along the
+  lane axis (order-independent-transmittance formulation — compositing
+  becomes weighted reductions instead of a serial pixel blend; cf. PAPERS.md
   "Order-independent Transmittance").
 - Early exit: once every pixel in the tile is saturated
-  (max transmittance < 1/255), remaining chunks are skipped — the TPU analog
-  of the fragment-level early termination in GPU 3DGS.
+  (max transmittance < 1/255) remaining chunks are skipped — the TPU analog
+  of fragment-level early termination in GPU 3DGS.
 
 Two implementations with identical math:
-  composite_tiles_jnp    — pure jnp (vmap over tiles); runs anywhere; used on
-                           CPU and as the differentiable/verifiable reference.
+  composite_tiles_jnp    — pure jnp (vmap over tiles); runs anywhere; the
+                           verifiable reference and CPU-backend path.
   composite_tiles_pallas — Pallas TPU kernel: per-tile grid, scalar-prefetched
-                           tile ranges, manual HBM->VMEM chunk DMA, VMEM
-                           accumulators.
+                           tile ranges, double-buffered HBM->VMEM row DMA,
+                           VMEM accumulators.
 """
 
 from __future__ import annotations
@@ -36,7 +36,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .binning import TileConfig, TileLists
+from .binning import ROW, EntryPlanes, TileConfig
 
 ALPHA_EPS = 1.0 / 255.0
 T_EPS = 1.0 / 255.0
@@ -44,46 +44,49 @@ ALPHA_MAX = 0.99
 FLAT_POWER_CUTOFF = -2.0  # ellipse/point: flat fill inside 2-sigma boundary
 
 
-def _chunk_alpha(geom_c, px, py, live, flat_mode: bool):
-    """(CHUNK, 8) geom + pixel row vectors -> (CHUNK, P) alpha matrix."""
-    mx = geom_c[:, 0:1]
-    my = geom_c[:, 1:2]
-    ca = geom_c[:, 2:3]
-    cb = geom_c[:, 3:4]
-    cc = geom_c[:, 4:5]
-    op = geom_c[:, 5:6]
-    dx = px - mx
+def _chunk_alpha(chunk, px, py, flat_mode: bool):
+    """chunk (9, 1, C) field rows + pixel columns (P, 1) -> (P, C) alpha.
+
+    Returns (alpha, r, g, b) with the color rows broadcastable (1, C).
+    """
+    mx, my = chunk[0], chunk[1]      # (1, C)
+    ca, cb, cc = chunk[2], chunk[3], chunk[4]
+    op = chunk[5]
+    r, g, b = chunk[6], chunk[7], chunk[8]
+    dx = px - mx                      # (P, C)
     dy = py - my
     power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
     if flat_mode:
         a = jnp.where(power >= FLAT_POWER_CUTOFF, op, 0.0)
+        a = jnp.broadcast_to(a, power.shape)
     else:
         a = op * jnp.exp(power)
     a = jnp.minimum(a, ALPHA_MAX)
-    a = jnp.where((power > 0.0) | (a < ALPHA_EPS) | ~live, 0.0, a)
-    return a
+    a = jnp.where((power > 0.0) | (a < ALPHA_EPS), 0.0, a)
+    return a, r, g, b
 
 
-def _excl_cumprod_rows(om: jnp.ndarray, chunk: int, use_roll: bool):
-    """Inclusive+exclusive cumulative product along axis 0 (the splat axis).
+def _excl_cumprod_lanes(om: jnp.ndarray, use_roll: bool):
+    """Inclusive+exclusive cumulative product along the last (lane) axis.
 
-    Hillis-Steele doubling: log2(chunk) masked-multiply steps — a parallel
-    scan the VPU executes as elementwise work, instead of a serial blend.
+    Hillis-Steele doubling: log2(C) masked-multiply steps — a parallel scan
+    the VPU executes as cheap lane-rotates instead of a serial blend.
     """
+    c = om.shape[-1]
     if use_roll:
         incl = om
-        row = jax.lax.broadcasted_iota(jnp.int32, om.shape, 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, om.shape, len(om.shape) - 1)
         shift = 1
-        while shift < chunk:
-            rolled = pltpu.roll(incl, shift, axis=0)
-            rolled = jnp.where(row < shift, 1.0, rolled)
+        while shift < c:
+            rolled = pltpu.roll(incl, shift, axis=len(om.shape) - 1)
+            rolled = jnp.where(col < shift, 1.0, rolled)
             incl = incl * rolled
             shift *= 2
-        rolled = pltpu.roll(incl, 1, axis=0)
-        excl = jnp.where(row < 1, 1.0, rolled)
+        rolled = pltpu.roll(incl, 1, axis=len(om.shape) - 1)
+        excl = jnp.where(col < 1, 1.0, rolled)
     else:
-        incl = jnp.cumprod(om, axis=0)
-        excl = jnp.concatenate([jnp.ones_like(om[:1]), incl[:-1]], axis=0)
+        incl = jnp.cumprod(om, axis=-1)
+        excl = jnp.concatenate([jnp.ones_like(om[..., :1]), incl[..., :-1]], axis=-1)
     return incl, excl
 
 
@@ -92,57 +95,51 @@ def _excl_cumprod_rows(om: jnp.ndarray, chunk: int, use_roll: bool):
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "flat_mode", "chunk"))
+@functools.partial(jax.jit, static_argnames=("cfg", "flat_mode"))
 def composite_tiles_jnp(
-    geom: jnp.ndarray,
-    color: jnp.ndarray,
-    lists: TileLists,
+    planes: EntryPlanes,
     cfg: TileConfig,
     flat_mode: bool = False,
-    chunk: int = 64,
 ) -> jnp.ndarray:
     """Returns (H, W, 4) f32: premultiplied rgb + coverage alpha."""
     tile = cfg.tile
     p = tile * tile
     ntx, nty = cfg.tiles_x, cfg.tiles_y
+    ent = planes.ent  # (9, R, 128)
 
     tile_ids = jnp.arange(cfg.n_tiles, dtype=jnp.int32)
     origin_x = (tile_ids % ntx) * tile
     origin_y = (tile_ids // ntx) * tile
-
     lane = jnp.arange(p, dtype=jnp.int32)
 
-    def one_tile(start, count, ox, oy):
-        px = (ox + lane % tile).astype(jnp.float32)[None, :] + 0.5
-        py = (oy + lane // tile).astype(jnp.float32)[None, :] + 0.5
-        row = jnp.arange(chunk, dtype=jnp.int32)[:, None]
+    def one_tile(row_start, count, ox, oy):
+        px = ((ox + lane % tile).astype(jnp.float32) + 0.5)[:, None]  # (P, 1)
+        py = ((oy + lane // tile).astype(jnp.float32) + 0.5)[:, None]
+        n_chunks = (count + ROW - 1) // ROW
 
         def cond(state):
             c, t, _ = state
-            return (c * chunk < count) & (jnp.max(t) > T_EPS)
+            return (c < n_chunks) & (jnp.max(t) > T_EPS)
 
         def body(state):
             c, t, rgb = state
-            off = start + c * chunk
-            geom_c = jax.lax.dynamic_slice(geom, (off, 0), (chunk, 8))
-            color_c = jax.lax.dynamic_slice(color, (off, 0), (chunk, 4))
-            live = (c * chunk + row) < count
-            a = _chunk_alpha(geom_c, px, py, live, flat_mode)
-            incl, excl = _excl_cumprod_rows(1.0 - a, chunk, use_roll=False)
-            w = t[None, :] * excl * a  # (chunk, P)
-            rgb = rgb + jnp.einsum(
-                "cp,ck->pk", w, color_c[:, :3], preferred_element_type=jnp.float32
+            chunk = jax.lax.dynamic_slice(ent, (0, row_start + c, 0), (9, 1, ROW))
+            a, r, g, b = _chunk_alpha(chunk, px, py, flat_mode)
+            incl, excl = _excl_cumprod_lanes(1.0 - a, use_roll=False)
+            w = t * excl * a  # (P, C)
+            rgb = rgb + jnp.stack(
+                [jnp.sum(w * r, -1), jnp.sum(w * g, -1), jnp.sum(w * b, -1)], -1
             )
-            t = t * incl[-1]
+            t = t * incl[:, -1:]
             return c + 1, t, rgb
 
         c0 = jnp.int32(0)
-        t0 = jnp.ones((p,), jnp.float32)
+        t0 = jnp.ones((p, 1), jnp.float32)
         rgb0 = jnp.zeros((p, 3), jnp.float32)
         _, t, rgb = jax.lax.while_loop(cond, body, (c0, t0, rgb0))
-        return jnp.concatenate([rgb, (1.0 - t)[:, None]], axis=1)  # (P, 4)
+        return jnp.concatenate([rgb, 1.0 - t], axis=1)  # (P, 4)
 
-    tiles = jax.vmap(one_tile)(lists.tile_starts, lists.tile_counts, origin_x, origin_y)
+    tiles = jax.vmap(one_tile)(planes.row_starts, planes.tile_counts, origin_x, origin_y)
     img = tiles.reshape(nty, ntx, tile, tile, 4).transpose(0, 2, 1, 3, 4)
     img = img.reshape(nty * tile, ntx * tile, 4)
     return img[: cfg.height, : cfg.width]
@@ -154,56 +151,46 @@ def composite_tiles_jnp(
 
 
 def _composite_kernel(
-    starts_ref,
+    row_starts_ref,
     counts_ref,
-    geom_hbm,
-    color_hbm,
+    ent_hbm,
     out_ref,
     *,
     cfg: TileConfig,
     flat_mode: bool,
-    chunk: int,
 ):
     t = pl.program_id(0)
     tile = cfg.tile
     p = tile * tile
     ntx = cfg.tiles_x
-    start = starts_ref[t]
+    row_start = row_starts_ref[t]
     count = counts_ref[t]
     ox = (t % ntx) * tile
     oy = (t // ntx) * tile
 
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, p), 1)
-    px = (ox + lane % tile).astype(jnp.float32) + 0.5
+    lane = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
+    px = (ox + lane % tile).astype(jnp.float32) + 0.5  # (P, 1)
     py = (oy + lane // tile).astype(jnp.float32) + 0.5
-    row = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)
 
-    def scoped(geom_buf, color_buf, t_buf, rgb_buf, sems):
-        t_buf[:] = jnp.ones((1, p), jnp.float32)
-        rgb_buf[:] = jnp.zeros((3, p), jnp.float32)
+    def scoped(ent_buf, t_buf, rgb_buf, sems):
+        t_buf[:] = jnp.ones((p, 1), jnp.float32)
+        rgb_buf[:] = jnp.zeros((p, 4), jnp.float32)
+        n_chunks = (count + ROW - 1) // ROW
 
         def get_dma(slot, c):
-            off = start + c * chunk
-            return (
-                pltpu.make_async_copy(
-                    geom_hbm.at[pl.ds(off, chunk), :], geom_buf.at[slot], sems.at[slot, 0]
-                ),
-                pltpu.make_async_copy(
-                    color_hbm.at[pl.ds(off, chunk), :], color_buf.at[slot], sems.at[slot, 1]
-                ),
+            return pltpu.make_async_copy(
+                ent_hbm.at[:, pl.ds(row_start + c, 1), :],
+                ent_buf.at[slot],
+                sems.at[slot],
             )
-
-        n_chunks = (count + chunk - 1) // chunk
 
         @pl.when(n_chunks > 0)
         def _():
-            g0, c0 = get_dma(0, 0)
-            g0.start()
-            c0.start()
+            get_dma(0, 0).start()
 
         def cond(state):
             c, _ = state
-            return (c < n_chunks) & (t_buf[0, :].max() > T_EPS)
+            return (c < n_chunks) & (jnp.max(t_buf[:]) > T_EPS)
 
         def body(state):
             c, _ = state
@@ -212,56 +199,48 @@ def _composite_kernel(
 
             @pl.when(c + 1 < n_chunks)
             def _():
-                gn, cn = get_dma(nxt, c + 1)
-                gn.start()
-                cn.start()
+                get_dma(nxt, c + 1).start()
 
-            g_dma, c_dma = get_dma(slot, c)
-            g_dma.wait()
-            c_dma.wait()
-
-            geom_c = geom_buf[slot]
-            color_c = color_buf[slot]
-            live = (c * chunk + row) < count
-            a = _chunk_alpha(geom_c, px, py, live, flat_mode)
-            incl, excl = _excl_cumprod_rows(1.0 - a, chunk, use_roll=True)
-            tcur = t_buf[0:1, :]
-            w = tcur * excl * a  # (chunk, P)
-            # rgb (3, P) += color^T (3, chunk) @ w (chunk, P) — MXU contraction.
-            rgb_buf[:] = rgb_buf[:] + jax.lax.dot_general(
-                color_c[:, :3],
-                w,
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            t_buf[:] = tcur * incl[chunk - 1 : chunk, :]
+            get_dma(slot, c).wait()
+            chunk = ent_buf[slot]  # (9, 1, ROW)
+            a, r, g, b = _chunk_alpha(chunk, px, py, flat_mode)
+            incl, excl = _excl_cumprod_lanes(1.0 - a, use_roll=True)
+            tcur = t_buf[:, 0:1]
+            w = tcur * excl * a  # (P, C)
+            rgb_buf[:, 0:1] = rgb_buf[:, 0:1] + jnp.sum(w * r, -1, keepdims=True)
+            rgb_buf[:, 1:2] = rgb_buf[:, 1:2] + jnp.sum(w * g, -1, keepdims=True)
+            rgb_buf[:, 2:3] = rgb_buf[:, 2:3] + jnp.sum(w * b, -1, keepdims=True)
+            t_buf[:] = tcur * incl[:, ROW - 1 : ROW]
             return c + 1, 0
 
-        jax.lax.while_loop(cond, body, (jnp.int32(0), 0))
+        c_final, _ = jax.lax.while_loop(cond, body, (jnp.int32(0), 0))
 
-        out_ref[0, 0:3, :] = rgb_buf[:]
-        out_ref[0, 3:4, :] = 1.0 - t_buf[:]
+        # Early exit leaves the prefetched chunk-c_final DMA in flight with
+        # its semaphore pending; drain it or the next tile's wait on that
+        # slot pairs with the stale signal and reads garbage.
+        @pl.when(c_final < n_chunks)
+        def _():
+            get_dma(jax.lax.rem(c_final, 2), c_final).wait()
+
+        rgb_buf[:, 3:4] = 1.0 - t_buf[:]
+        # Output block is (4, P) lane-major (a (P, 4) block would get lane-
+        # padded 32x in HBM); one transpose per tile.
+        out_ref[0] = rgb_buf[:].T
 
     pl.run_scoped(
         scoped,
-        geom_buf=pltpu.VMEM((2, chunk, 8), jnp.float32),
-        color_buf=pltpu.VMEM((2, chunk, 4), jnp.float32),
-        t_buf=pltpu.VMEM((1, p), jnp.float32),
-        rgb_buf=pltpu.VMEM((3, p), jnp.float32),
-        sems=pltpu.SemaphoreType.DMA((2, 2)),
+        ent_buf=pltpu.VMEM((2, 9, 1, ROW), jnp.float32),
+        t_buf=pltpu.VMEM((p, 1), jnp.float32),
+        rgb_buf=pltpu.VMEM((p, 4), jnp.float32),
+        sems=pltpu.SemaphoreType.DMA((2,)),
     )
 
 
-@functools.partial(
-    jax.jit, static_argnames=("cfg", "flat_mode", "chunk", "interpret")
-)
+@functools.partial(jax.jit, static_argnames=("cfg", "flat_mode", "interpret"))
 def composite_tiles_pallas(
-    geom: jnp.ndarray,
-    color: jnp.ndarray,
-    lists: TileLists,
+    planes: EntryPlanes,
     cfg: TileConfig,
     flat_mode: bool = False,
-    chunk: int = 128,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Pallas tile compositor. Returns (H, W, 4) f32."""
@@ -271,15 +250,10 @@ def composite_tiles_pallas(
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(cfg.n_tiles,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-        ],
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
         out_specs=pl.BlockSpec((1, 4, p), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
     )
-    kernel = functools.partial(
-        _composite_kernel, cfg=cfg, flat_mode=flat_mode, chunk=chunk
-    )
+    kernel = functools.partial(_composite_kernel, cfg=cfg, flat_mode=flat_mode)
     tiles = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -288,22 +262,23 @@ def composite_tiles_pallas(
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
-    )(lists.tile_starts, lists.tile_counts, geom, color)
+    )(planes.row_starts, planes.tile_counts, planes.ent)
 
     ntx, nty = cfg.tiles_x, cfg.tiles_y
-    img = tiles.transpose(0, 2, 1).reshape(nty, ntx, tile, tile, 4).transpose(0, 2, 1, 3, 4)
+    tiles = tiles.transpose(0, 2, 1)  # (T, P, 4)
+    img = tiles.reshape(nty, ntx, tile, tile, 4).transpose(0, 2, 1, 3, 4)
     img = img.reshape(nty * tile, ntx * tile, 4)
     return img[: cfg.height, : cfg.width]
 
 
 def composite_tiles(
-    geom, color, lists, cfg: TileConfig, flat_mode: bool = False, backend: str | None = None
+    planes: EntryPlanes, cfg: TileConfig, flat_mode: bool = False, backend: str | None = None
 ):
     """Backend dispatcher: Pallas on TPU, jnp elsewhere."""
     backend = backend or jax.default_backend()
     if backend == "tpu":
-        return composite_tiles_pallas(geom, color, lists, cfg, flat_mode=flat_mode)
-    return composite_tiles_jnp(geom, color, lists, cfg, flat_mode=flat_mode)
+        return composite_tiles_pallas(planes, cfg, flat_mode=flat_mode)
+    return composite_tiles_jnp(planes, cfg, flat_mode=flat_mode)
 
 
 def over_background(img: jnp.ndarray, background: jnp.ndarray) -> jnp.ndarray:

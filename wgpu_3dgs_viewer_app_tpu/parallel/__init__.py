@@ -1,0 +1,15 @@
+from .render_sharded import (
+    make_mesh,
+    render_frame_sharded,
+    render_sharded,
+    shard_pod,
+    slab_config,
+)
+
+__all__ = [
+    "make_mesh",
+    "render_frame_sharded",
+    "render_sharded",
+    "shard_pod",
+    "slab_config",
+]
