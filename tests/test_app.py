@@ -1,0 +1,220 @@
+"""App layer tests: session orchestration, streaming load, export, measurement."""
+
+import io
+
+import numpy as np
+import pytest
+
+from wgpu_3dgs_viewer_app_tpu.app import (
+    Action,
+    ExportChoice,
+    GaussianSplattingSession,
+    SceneCommand,
+    SceneCommandKind,
+    SelectionEdit,
+    SelectionMethod,
+    export_models,
+)
+from wgpu_3dgs_viewer_app_tpu.data import make_random_scene, read_ply, write_ply
+
+
+def ply_bytes(n=200, seed=0, **kw):
+    g = make_random_scene(n, seed=seed, **kw)
+    buf = io.BytesIO()
+    write_ply(buf, g)
+    buf.seek(0)
+    return g, buf
+
+
+def make_session(**kw):
+    kw.setdefault("width", 64)
+    kw.setdefault("height", 64)
+    return GaussianSplattingSession(use_pallas=False, **kw)
+
+
+def test_open_and_stream_load():
+    s = make_session()
+    g, buf = ply_bytes(500)
+    s.open_model("m.ply", buf)
+    assert s.loader is not None
+    # Loader count known header-first.
+    assert s.loader[1].count == 500
+    for _ in range(100):
+        s._drain_loader()
+        if s.loader is None:
+            break
+    assert s.loader is None
+    m = s.viewer.models["m.ply"]
+    assert len(m.buffers) == 500
+    np.testing.assert_allclose(m.gaussians.pos, g.pos)
+
+
+def test_concurrent_load_rejected():
+    s = make_session()
+    _, buf = ply_bytes(300)
+    s.open_model("a.ply", buf)
+    _, buf2 = ply_bytes(10)
+    with pytest.raises(RuntimeError):
+        s.open_model("b.ply", buf2)  # ref scene.rs:395-398
+
+
+def test_frame_update_renders():
+    s = make_session()
+    _, buf = ply_bytes(200, extent=0.5, scale_range=(0.05, 0.1))
+    s.open_model("m.ply", buf)
+    img = None
+    for _ in range(50):
+        img = s.update()
+        if s.loader is None:
+            break
+    img = np.asarray(s.update())
+    assert img.shape == (64, 64, 3)
+    assert img.max() > 0
+
+
+def test_scene_command_bus():
+    s = make_session()
+    _, buf = ply_bytes(50)
+    s.send_command(
+        SceneCommand(SceneCommandKind.ADD_MODEL, file_name="x.ply", reader=buf)
+    )
+    s.update()
+    assert "x.ply" in s.viewer.models
+
+
+def test_mask_evaluate_via_opcode():
+    from wgpu_3dgs_viewer_app_tpu.mask import MaskShape, MaskShapeKind
+
+    s = make_session()
+    g, buf = ply_bytes(100, extent=1.0)
+    s.open_model("m.ply", buf)
+    while s.loader is not None:
+        s._drain_loader()
+    shape = MaskShape(kind=MaskShapeKind.BOX, scale=np.array([1, 1, 1], np.float32))
+    s.mask.add_shape(shape)
+    s.mask.op_code = "0"
+    s.evaluate_mask(s.mask.parse_op())
+    bits = np.asarray(s.viewer.models["m.ply"].buffers.mask)
+    inside = np.all(np.abs(g.pos) <= 0.5, axis=1)
+    np.testing.assert_array_equal(bits.astype(bool), inside)
+    # Reset restores everything.
+    s.evaluate_mask(None)
+    assert np.asarray(s.viewer.models["m.ply"].buffers.mask).all()
+
+
+def test_measurement_locate_hit_and_distance():
+    s = make_session()
+    g, buf = ply_bytes(1, extent=0.0, scale_range=(0.3, 0.30001))
+    s.open_model("m.ply", buf)
+    while s.loader is not None:
+        s._drain_loader()
+    s.action = Action.MEASUREMENT_LOCATE_HIT
+    ok = s.locate_hit((32, 32), 0, 0)
+    assert ok
+    pair = s.measurement.hit_pairs[0]
+    # Splat sits at its position; hit should be near it (cam on -z axis).
+    assert abs(pair.hits[0].pos[2] - g.pos[0][2]) < 0.2
+    pair.hits[1].pos = pair.hits[0].pos + np.array([3, 4, 0], np.float32)
+    assert abs(pair.distance() - 5.0) < 1e-5
+
+
+def test_selection_gesture_and_commit_edit():
+    s = make_session()
+    g, buf = ply_bytes(100, extent=1.0, scale_range=(0.02, 0.05))
+    s.open_model("m.ply", buf)
+    while s.loader is not None:
+        s._drain_loader()
+    s.action = Action.SELECTION
+    s.selection.method = SelectionMethod.RECT
+    s.selection.immediate = True
+    s.toolset.set_use_texture(False)
+    from wgpu_3dgs_viewer_app_tpu.query import QuerySelectionOp, QueryToolset
+
+    s.toolset.start(QueryToolset.RECT, QuerySelectionOp.SET, (0, 0))
+    s.toolset.update_pos((64, 64))
+    s.end_selection_gesture()
+    bits = np.asarray(s.viewer.models["m.ply"].buffers.selection)
+    assert bits.sum() > 0
+    # live edit then commit
+    s.selection.edit = SelectionEdit(alpha=0.5)
+    s.commit_selection_edit()
+    flags, _, params = s.viewer.models["m.ply"].buffers.download_edits()
+    assert (flags[bits.astype(bool)] != 0).all()
+    np.testing.assert_allclose(params[bits.astype(bool), 3], 0.5)
+
+
+def test_export_single_and_zip():
+    import zipfile
+
+    s = make_session()
+    g, buf = ply_bytes(40)
+    s.open_model("a.ply", buf)
+    while s.loader is not None:
+        s._drain_loader()
+    out = io.BytesIO()
+    names = export_models(s.viewer, out)
+    assert names == ["a.ply"]
+    out.seek(0)
+    g2 = read_ply(out)
+    np.testing.assert_allclose(g2.pos, g.pos)
+
+    # add second model -> zip
+    _, buf2 = ply_bytes(30, seed=9)
+    s.open_model("b.ply", buf2)
+    while s.loader is not None:
+        s._drain_loader()
+    out = io.BytesIO()
+    names = export_models(s.viewer, out)
+    assert set(names) == {"a.ply", "b.ply"}
+    out.seek(0)
+    with zipfile.ZipFile(out) as zf:
+        assert set(zf.namelist()) == {"a.ply", "b.ply"}
+
+
+def test_export_with_mask_filter():
+    s = make_session()
+    g, buf = ply_bytes(60)
+    s.open_model("a.ply", buf)
+    while s.loader is not None:
+        s._drain_loader()
+    mask = np.zeros(60, np.uint8)
+    mask[:25] = 1
+    s.viewer.models["a.ply"].buffers.set_mask(mask)
+    out = io.BytesIO()
+    export_models(s.viewer, out, {"a.ply": ExportChoice(with_edit=False, with_mask=True)})
+    out.seek(0)
+    assert read_ply(out).count == 25
+
+
+def test_fps_counter():
+    from wgpu_3dgs_viewer_app_tpu.app import FpsCounter
+
+    c = FpsCounter()
+    for _ in range(5):
+        c.tick()
+    assert c.fps == 0.0  # refreshes at 1 s interval (ref scene.rs:327-337)
+
+
+def test_measurement_overlay_draws_line():
+    import jax.numpy as jnp
+
+    from wgpu_3dgs_viewer_app_tpu.app import Measurement, MeasurementHitPair
+    from wgpu_3dgs_viewer_app_tpu.app.measurement import render_measurement_overlay
+    from wgpu_3dgs_viewer_app_tpu.core import CameraOrbitControl
+
+    cam = CameraOrbitControl(target=(0, 0, 0), pos=(0, 0, -4))
+    img = jnp.zeros((64, 64, 3))
+    m = Measurement()
+    pair = MeasurementHitPair(label="p")
+    pair.hits[0].pos = np.array([-0.5, 0, 0], np.float32)
+    pair.hits[1].pos = np.array([0.5, 0, 0], np.float32)
+    m.hit_pairs.append(pair)
+    out = np.asarray(
+        render_measurement_overlay(img, m, cam.view(), cam.projection(1.0))
+    )
+    assert out[:, :, 0].max() > 0.5  # red line drawn
+    pair.visible = False
+    out2 = np.asarray(
+        render_measurement_overlay(img, m, cam.view(), cam.projection(1.0))
+    )
+    assert out2.max() == 0.0

@@ -1,0 +1,106 @@
+"""Command-line entry points: offline rendering and the interactive server.
+
+Usage:
+  python -m wgpu_3dgs_viewer_app_tpu.app.cli render model.ply -o out.png \
+      [--width 1920 --height 1080 --sh-deg 3 --mode splat --orbit 30]
+  python -m wgpu_3dgs_viewer_app_tpu.app.cli serve [model.ply ...] \
+      [--port 8080 --width 1280 --height 720]
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import sys
+
+import numpy as np
+
+
+def _save_png(path: str, img: np.ndarray) -> None:
+    from PIL import Image
+
+    arr = np.clip(np.asarray(img) * 255.0, 0, 255).astype(np.uint8)
+    Image.fromarray(arr).save(path)
+
+
+def cmd_render(args) -> int:
+    from ..core.camera import CameraOrbitControl
+    from ..core.transform import GaussianDisplayMode, GaussianShDegree
+    from ..data.compression import Compressions, Cov3dCompression, ShCompression
+    from ..data.ply import read_ply
+    from ..viewer.viewer import Viewer
+
+    g = read_ply(args.model)
+    print(f"loaded {g.count:,} splats from {args.model}", file=sys.stderr)
+    comp = Compressions(ShCompression(args.sh_comp), Cov3dCompression(args.cov3d_comp))
+    v = Viewer(g, args.width, args.height, comp=comp, background=tuple(args.background))
+    gt = v.gaussian_transform
+    gt.sh_deg = GaussianShDegree(args.sh_deg)
+    gt.display_mode = GaussianDisplayMode[args.mode.upper()]
+    gt.size = args.size
+
+    center = g.center()
+    extent = float(np.abs(g.pos - center).max()) or 1.0
+    yaw = math.radians(args.orbit)
+    dist = args.distance or extent * 2.0
+    cam = CameraOrbitControl(
+        target=center,
+        pos=center + dist * np.array([math.sin(yaw), 0.3, math.cos(yaw)], np.float32),
+    )
+    img = v.render(cam)
+    _save_png(args.output, np.asarray(img))
+    print(f"wrote {args.output}", file=sys.stderr)
+    return 0
+
+
+def cmd_serve(args) -> int:
+    from ..data.compression import Compressions, Cov3dCompression, ShCompression
+    from .server import serve
+    from .state import GaussianSplattingSession
+
+    comp = Compressions(ShCompression(args.sh_comp), Cov3dCompression(args.cov3d_comp))
+    session = GaussianSplattingSession(args.width, args.height, compressions=comp)
+    for path in args.models:
+        with open(path, "rb") as f:
+            session.open_model(path.split("/")[-1], f)
+            while session.loader is not None:
+                session._drain_loader()
+    serve(session, host=args.host, port=args.port)
+    return 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="3dgs-tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    r = sub.add_parser("render", help="offline render a PLY to PNG")
+    r.add_argument("model")
+    r.add_argument("-o", "--output", default="out.png")
+    r.add_argument("--width", type=int, default=1280)
+    r.add_argument("--height", type=int, default=720)
+    r.add_argument("--sh-deg", type=int, default=3)
+    r.add_argument("--mode", choices=["splat", "ellipse", "point"], default="splat")
+    r.add_argument("--size", type=float, default=1.0)
+    r.add_argument("--orbit", type=float, default=0.0, help="orbit yaw degrees")
+    r.add_argument("--distance", type=float, default=None)
+    r.add_argument("--background", type=float, nargs=3, default=[0, 0, 0])
+    r.add_argument("--sh-comp", default="norm8", choices=["single", "half", "norm8", "remove"])
+    r.add_argument("--cov3d-comp", default="half", choices=["single", "half"])
+    r.set_defaults(fn=cmd_render)
+
+    s = sub.add_parser("serve", help="interactive web viewer")
+    s.add_argument("models", nargs="*")
+    s.add_argument("--host", default="127.0.0.1")
+    s.add_argument("--port", type=int, default=8080)
+    s.add_argument("--width", type=int, default=1280)
+    s.add_argument("--height", type=int, default=720)
+    s.add_argument("--sh-comp", default="norm8", choices=["single", "half", "norm8", "remove"])
+    s.add_argument("--cov3d-comp", default="half", choices=["single", "half"])
+    s.set_defaults(fn=cmd_serve)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,499 @@
+"""Interactive web viewer: the TPU-host equivalent of the reference's
+egui/eframe shell (L5/L6).
+
+The reference renders into a native/wasm window via wgpu (`src/main.rs`,
+`src/app.rs:95-329`, tab system `src/tab/mod.rs`). A TPU has no display, so
+the shell becomes a host HTTP server streaming JPEG frames to a browser
+canvas, with the tab surface (camera / transform / models / selection /
+mask / measurement / metadata — `src/tab/*.rs`) exposed as a JSON state API
+driven by an HTML panel (assets/index.html).
+
+Protocol:
+  GET  /            the viewer page
+  GET  /frame.jpg   render one frame (the frame loop is client-paced)
+  GET  /state       full UI state JSON (all tabs + fps + metadata)
+  POST /event       viewport input {type: orbit|pan|zoom|look|move|action_*}
+  POST /set         state updates from the tab panel
+  POST /open        upload a .ply body (X-Filename header)
+  POST /command     remove_model | evaluate_mask | commit_edit | add_shape...
+  GET  /export      download PLY (single) / ZIP (multi) with edits/mask baked
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import math
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from pathlib import Path
+
+import numpy as np
+
+from ..core.camera import CameraFirstPersonControl, CameraOrbitControl, to_first_person, to_orbit
+from ..core.transform import GaussianDisplayMode, GaussianShDegree, ModelTransform
+from ..mask.shapes import MaskShape, MaskShapeKind
+from ..query.pods import QuerySelectionOp
+from ..query.selection import QueryToolset
+from ..utils.format import human_readable_size
+from .export import ExportChoice, export_models
+from .state import (
+    Action,
+    GaussianSplattingSession,
+    SelectionEdit,
+    SelectionMethod,
+)
+
+ASSETS = Path(__file__).parent / "assets"
+
+
+def _encode_jpeg(img: np.ndarray, quality: int = 85) -> bytes:
+    from PIL import Image
+
+    arr = np.clip(np.asarray(img) * 255.0, 0, 255).astype(np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, "JPEG", quality=quality)
+    return buf.getvalue()
+
+
+class ViewerServer:
+    """Owns the session + a lock; handlers call into it."""
+
+    def __init__(self, session: GaussianSplattingSession):
+        self.session = session
+        self.lock = threading.Lock()
+        self._last_frame = None
+
+    # --- frame ---
+
+    def frame_jpeg(self, quality: int = 85) -> bytes:
+        with self.lock:
+            img = self.session.update()
+            return _encode_jpeg(np.asarray(img), quality)
+
+    # --- input events (ref input system src/tab/scene.rs:1082-1569) ---
+
+    def handle_event(self, ev: dict) -> None:
+        with self.lock:
+            s = self.session
+            cam = s.camera
+            t = ev.get("type")
+            sens = cam.sensitivity * 0.005
+            if t == "orbit" and isinstance(cam.control, CameraOrbitControl):
+                cam.control.orbit_by(-ev["dx"] * sens, ev["dy"] * sens)
+            elif t == "zoom" and isinstance(cam.control, CameraOrbitControl):
+                cam.control.zoom_by(math.pow(1.0015, ev["dy"]))
+            elif t == "pan" and isinstance(cam.control, CameraOrbitControl):
+                # Exact screen-to-world pan scaling (ref scene.rs:1460-1562):
+                # world units per pixel at the target's depth.
+                c = cam.control
+                d = float(np.linalg.norm(c.arm()))
+                h = s.viewer.cfg.height
+                per_px = 2.0 * d * math.tan(c.vertical_fov / 2) / h
+                view = c.view()
+                right = view[0, :3]
+                up = view[1, :3]
+                c.pan_by((-ev["dx"] * right + ev["dy"] * up) * per_px)
+            elif t == "look":
+                fp = to_first_person(cam.control)
+                fp.yaw_by(-ev["dx"] * sens)
+                fp.pitch_by(-ev["dy"] * sens)
+                if isinstance(cam.control, CameraOrbitControl):
+                    d = float(np.linalg.norm(cam.control.arm()))
+                    cam.control = to_orbit(fp, d)
+                else:
+                    cam.control = fp
+            elif t == "move":
+                fp = to_first_person(cam.control)
+                fwd, rgt = fp.get_forward(), fp.get_right()
+                up = np.array([0, 1, 0], np.float32)
+                v = (
+                    fwd * ev.get("z", 0) + rgt * ev.get("x", 0) + up * ev.get("y", 0)
+                ) * cam.speed * ev.get("dt", 0.016)
+                if isinstance(cam.control, CameraOrbitControl):
+                    cam.control.pan_by(v)
+                else:
+                    cam.control.pos = cam.control.pos + v
+            elif t == "set_control":
+                if ev["control"] == "first_person":
+                    cam.control = to_first_person(cam.control)
+                else:
+                    arm = ev.get("arm", 1.0)
+                    cam.control = to_orbit(cam.control, arm)
+            elif t == "action_start":
+                self._action_start(ev)
+            elif t == "action_move":
+                pos = (ev["x"], ev["y"])
+                s.toolset.update_pos(pos)
+            elif t == "action_end":
+                if s.action == Action.SELECTION:
+                    s.end_selection_gesture()
+                elif s.action == Action.MEASUREMENT_LOCATE_HIT:
+                    s.locate_hit(
+                        (ev["x"], ev["y"]), ev.get("pair", 0), ev.get("hit", 0)
+                    )
+            elif t == "brush_radius":
+                s.selection.brush_radius = max(1, int(s.selection.brush_radius + ev["delta"]))
+                s.toolset.update_brush_radius(s.selection.brush_radius)
+
+    def _action_start(self, ev: dict) -> None:
+        s = self.session
+        if s.action != Action.SELECTION:
+            return
+        # Modifier ops: Shift=Add, Ctrl=Remove (ref scene.rs:1218-1229).
+        op = s.selection.operation
+        if ev.get("shift"):
+            op = QuerySelectionOp.ADD
+        elif ev.get("ctrl"):
+            op = QuerySelectionOp.REMOVE
+        tool = (
+            QueryToolset.BRUSH
+            if s.selection.method == SelectionMethod.BRUSH
+            else QueryToolset.RECT
+        )
+        s.toolset.set_use_texture(not s.selection.immediate)
+        s.toolset.update_brush_radius(s.selection.brush_radius)
+        s.toolset.start(tool, op, (ev["x"], ev["y"]))
+
+    # --- state JSON (the tab surface) ---
+
+    def state_json(self) -> dict:
+        with self.lock:
+            s = self.session
+            cam = s.camera
+            ctrl = cam.control
+            models = {}
+            for k, m in s.viewer.models.items():
+                count = m.buffers.capacity
+                models[k] = {
+                    "visible": m.visible,
+                    "count": count,
+                    "loaded": len(m.buffers),
+                    "transform": {
+                        "pos": m.transform.pos.tolist(),
+                        "rot": m.transform.rot.tolist(),
+                        "scale": m.transform.scale.tolist(),
+                    },
+                    "original_size": human_readable_size(count * 248),
+                    "compressed_size": human_readable_size(
+                        s.compressions.compressed_size(count)
+                    ),
+                }
+            gt = s.gaussian_transform
+            sel = s.selection
+            edit = sel.edit
+            return {
+                "fps": round(s.fps.fps, 1),
+                "loading": None
+                if s.loader is None
+                else {
+                    "key": s.loader[0],
+                    "received": s.loader[1].received,
+                    "count": s.loader[1].count,
+                },
+                "camera": {
+                    "control": "orbit" if isinstance(ctrl, CameraOrbitControl) else "first_person",
+                    "pos": np.asarray(ctrl.pos).tolist(),
+                    "fov_deg": math.degrees(ctrl.vertical_fov),
+                    "speed": cam.speed,
+                    "sensitivity": cam.sensitivity,
+                },
+                "models": models,
+                "selected_key": s.selected_key,
+                "gaussian_transform": {
+                    "size": gt.size,
+                    "display_mode": gt.display_mode.name.lower(),
+                    "sh_deg": gt.sh_deg.degree,
+                    "no_sh0": gt.no_sh0,
+                },
+                "action": s.action.value,
+                "selection": {
+                    "method": sel.method.value,
+                    "operation": sel.operation.value,
+                    "immediate": sel.immediate,
+                    "brush_radius": sel.brush_radius,
+                    "highlight_color": list(sel.highlight_color),
+                    "show_unedited": sel.show_unedited,
+                    "edit": None
+                    if edit is None
+                    else {
+                        "hidden": edit.hidden,
+                        "hsv": list(edit.hsv) if edit.hsv else None,
+                        "override_rgb": list(edit.override_rgb) if edit.override_rgb else None,
+                        "contrast": edit.contrast,
+                        "exposure": edit.exposure,
+                        "gamma": edit.gamma,
+                        "alpha": edit.alpha,
+                    },
+                },
+                "mask": {
+                    "op_code": s.mask.op_code,
+                    "shapes": [
+                        {
+                            "kind": sh.kind.value,
+                            "pos": sh.pos.tolist(),
+                            "rot": sh.rot.tolist(),
+                            "scale": sh.scale.tolist(),
+                            "visible": sh.visible,
+                        }
+                        for sh in s.mask.shapes
+                    ],
+                },
+                "measurement": {
+                    "hit_method": s.measurement.hit_method.value,
+                    "pairs": [
+                        {
+                            "label": p.label,
+                            "visible": p.visible,
+                            "color": list(p.color),
+                            "line_width": p.line_width,
+                            "hits": [h.pos.tolist() for h in p.hits],
+                            "distance": p.distance(),
+                        }
+                        for p in s.measurement.hit_pairs
+                    ],
+                },
+                "compressions": {
+                    "sh": s.compressions.sh.value,
+                    "cov3d": s.compressions.cov3d.value,
+                },
+            }
+
+    def handle_set(self, body: dict) -> None:
+        with self.lock:
+            s = self.session
+            for key, v in body.items():
+                if key == "gaussian_transform":
+                    gt = s.gaussian_transform
+                    gt.size = float(v.get("size", gt.size))
+                    if "display_mode" in v:
+                        gt.display_mode = GaussianDisplayMode[v["display_mode"].upper()]
+                    if "sh_deg" in v:
+                        gt.sh_deg = GaussianShDegree(int(v["sh_deg"]))
+                    gt.no_sh0 = bool(v.get("no_sh0", gt.no_sh0))
+                elif key == "action":
+                    s.action = Action(v)
+                elif key == "selected_key":
+                    s.selected_key = v
+                elif key == "camera":
+                    ctrl = s.camera.control
+                    if "fov_deg" in v:
+                        ctrl.vertical_fov = math.radians(float(v["fov_deg"]))
+                    s.camera.speed = float(v.get("speed", s.camera.speed))
+                    s.camera.sensitivity = float(v.get("sensitivity", s.camera.sensitivity))
+                elif key == "selection":
+                    sel = s.selection
+                    if "method" in v:
+                        sel.method = SelectionMethod(v["method"])
+                    if "operation" in v:
+                        sel.operation = QuerySelectionOp(v["operation"])
+                    sel.immediate = bool(v.get("immediate", sel.immediate))
+                    if "brush_radius" in v:
+                        sel.brush_radius = int(v["brush_radius"])
+                    if "show_unedited" in v:
+                        sel.show_unedited = bool(v["show_unedited"])
+                    if "edit" in v:
+                        e = v["edit"]
+                        sel.edit = None if e is None else SelectionEdit(
+                            hidden=e.get("hidden", False),
+                            hsv=tuple(e["hsv"]) if e.get("hsv") else (0.0, 1.0, 1.0),
+                            override_rgb=tuple(e["override_rgb"]) if e.get("override_rgb") else None,
+                            contrast=e.get("contrast", 0.0),
+                            exposure=e.get("exposure", 0.0),
+                            gamma=e.get("gamma", 1.0),
+                            alpha=e.get("alpha", 1.0),
+                        )
+                elif key == "model":
+                    m = s.viewer.models.get(v["key"])
+                    if m is None:
+                        continue
+                    if "visible" in v:
+                        m.visible = bool(v["visible"])
+                    if "transform" in v:
+                        tr = v["transform"]
+                        m.transform = ModelTransform(
+                            pos=np.asarray(tr["pos"], np.float32),
+                            rot=np.asarray(tr["rot"], np.float32),
+                            scale=np.asarray(tr["scale"], np.float32),
+                        )
+                elif key == "mask_op_code":
+                    s.mask.op_code = v
+                elif key == "mask_shape":
+                    i = v["index"]
+                    if 0 <= i < len(s.mask.shapes):
+                        sh = s.mask.shapes[i]
+                        sh.kind = MaskShapeKind(v.get("kind", sh.kind.value))
+                        sh.pos = np.asarray(v.get("pos", sh.pos), np.float32)
+                        sh.rot = np.asarray(v.get("rot", sh.rot), np.float32)
+                        sh.scale = np.asarray(v.get("scale", sh.scale), np.float32)
+                        sh.visible = bool(v.get("visible", sh.visible))
+                elif key == "measurement":
+                    from ..query.hit import MeasurementHitMethod
+
+                    if "hit_method" in v:
+                        s.measurement.hit_method = MeasurementHitMethod(v["hit_method"])
+                    if "pair" in v:
+                        p = v["pair"]
+                        i = p["index"]
+                        if 0 <= i < len(s.measurement.hit_pairs):
+                            pair = s.measurement.hit_pairs[i]
+                            pair.visible = bool(p.get("visible", pair.visible))
+                            pair.label = p.get("label", pair.label)
+                            if "color" in p:
+                                pair.color = tuple(p["color"])
+                            if "line_width" in p:
+                                pair.line_width = float(p["line_width"])
+
+    def handle_command(self, body: dict) -> dict:
+        with self.lock:
+            s = self.session
+            cmd = body.get("cmd")
+            if cmd == "remove_model":
+                s.viewer.remove_model(body["key"])
+                if s.selected_key == body["key"]:
+                    s.selected_key = next(iter(s.viewer.models), None)
+            elif cmd == "evaluate_mask":
+                op = s.mask.parse_op()
+                s.evaluate_mask(op)
+            elif cmd == "reset_mask":
+                s.evaluate_mask(None)
+            elif cmd == "commit_edit":
+                s.commit_selection_edit()
+            elif cmd == "clear_selection":
+                for m in s.viewer.models.values():
+                    m.buffers.set_selection(np.zeros(m.buffers.capacity, np.uint8))
+            elif cmd == "add_mask_shape":
+                s.mask.add_shape()
+            elif cmd == "remove_mask_shape":
+                i = body.get("index", -1)
+                if 0 <= i < len(s.mask.shapes):
+                    s.mask.shapes.pop(i)
+            elif cmd == "add_measurement_pair":
+                from .measurement import MeasurementHitPair
+
+                s.measurement.hit_pairs.append(
+                    MeasurementHitPair(label=f"Pair {len(s.measurement.hit_pairs)}")
+                )
+            elif cmd == "remove_measurement_pair":
+                i = body.get("index", -1)
+                if 0 <= i < len(s.measurement.hit_pairs):
+                    s.measurement.hit_pairs.pop(i)
+            else:
+                return {"ok": False, "error": f"unknown command {cmd!r}"}
+            return {"ok": True}
+
+    def handle_open(self, filename: str, data: bytes) -> dict:
+        with self.lock:
+            try:
+                self.session.open_model(filename, io.BytesIO(data))
+                return {"ok": True}
+            except Exception as e:
+                return {"ok": False, "error": str(e)}
+
+    def export_bytes(self, choices: dict | None = None) -> tuple:
+        with self.lock:
+            s = self.session
+            ch = None
+            if choices:
+                ch = {
+                    k: ExportChoice(
+                        export=c.get("export", True),
+                        with_edit=c.get("with_edit", True),
+                        with_mask=c.get("with_mask", True),
+                    )
+                    for k, c in choices.items()
+                }
+            buf = io.BytesIO()
+            names = export_models(s.viewer, buf, ch)
+            multi = len(names) > 1
+            fname = "models.zip" if multi else (names[0] if names else "model.ply")
+            if not fname.endswith((".ply", ".zip")):
+                fname += ".ply"
+            ctype = "application/zip" if multi else "application/octet-stream"
+            return buf.getvalue(), fname, ctype
+
+
+def make_handler(server: ViewerServer):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet
+            pass
+
+        def _send(self, code, body, ctype="application/json", extra=None):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            for k, v in (extra or {}).items():
+                self.send_header(k, v)
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _json(self, obj, code=200):
+            self._send(code, json.dumps(obj).encode())
+
+        def do_GET(self):
+            path = self.path.split("?")[0]
+            try:
+                if path == "/":
+                    html = (ASSETS / "index.html").read_bytes()
+                    self._send(200, html, "text/html; charset=utf-8")
+                elif path == "/frame.jpg":
+                    q = 85
+                    if "quality=" in self.path:
+                        q = int(self.path.split("quality=")[1].split("&")[0])
+                    self._send(200, server.frame_jpeg(q), "image/jpeg")
+                elif path == "/state":
+                    self._json(server.state_json())
+                elif path == "/export":
+                    data, fname, ctype = server.export_bytes()
+                    self._send(
+                        200, data, ctype,
+                        {"Content-Disposition": f'attachment; filename="{fname}"'},
+                    )
+                else:
+                    self._json({"error": "not found"}, 404)
+            except Exception as e:
+                self._json({"error": str(e)}, 500)
+
+        def do_POST(self):
+            n = int(self.headers.get("Content-Length", 0))
+            data = self.rfile.read(n)
+            try:
+                if self.path == "/event":
+                    server.handle_event(json.loads(data))
+                    self._json({"ok": True})
+                elif self.path == "/set":
+                    server.handle_set(json.loads(data))
+                    self._json({"ok": True})
+                elif self.path == "/command":
+                    self._json(server.handle_command(json.loads(data)))
+                elif self.path == "/open":
+                    fname = self.headers.get("X-Filename", "model.ply")
+                    self._json(server.handle_open(fname, data))
+                elif self.path == "/export":
+                    body = json.loads(data) if data else {}
+                    blob, fname, ctype = server.export_bytes(body.get("choices"))
+                    self._send(
+                        200, blob, ctype,
+                        {"Content-Disposition": f'attachment; filename="{fname}"'},
+                    )
+                else:
+                    self._json({"error": "not found"}, 404)
+            except Exception as e:
+                self._json({"error": str(e)}, 500)
+
+    return Handler
+
+
+def serve(
+    session: GaussianSplattingSession | None = None,
+    host: str = "127.0.0.1",
+    port: int = 8080,
+    **session_kw,
+):
+    """Run the viewer server (blocking)."""
+    session = session or GaussianSplattingSession(**session_kw)
+    vs = ViewerServer(session)
+    httpd = ThreadingHTTPServer((host, port), make_handler(vs))
+    print(f"3DGS TPU viewer at http://{host}:{port}/")
+    httpd.serve_forever()

@@ -92,12 +92,22 @@ ALL_COMPRESSIONS = tuple(
 )
 
 
-def pack_gaussians(g: Gaussians, comp: Compressions) -> dict:
+def pack_gaussians(g: Gaussians, comp: Compressions, use_native: bool | None = None) -> dict:
     """Host-side pack: raw SoA -> compressed pod arrays (numpy).
 
     This is the CPU->pod compression applied on upload
     (`gaussians_buffer.update_range`, ref `src/tab/scene.rs:2076-2084`).
+
+    When the gsnative C++ codec is built (native/gsnative.cpp) the fused
+    multithreaded native path is used; `use_native=False` forces numpy.
     """
+    if use_native is not False:
+        from . import native as _native
+
+        if _native.available():
+            out = _native.pack_gaussians_native(g, comp)
+            if out is not None:
+                return out
     n = g.count
     pos = g.pos.astype(np.float32)
     rgb = np.clip(0.5 + SH_C0 * g.sh0, 0.0, 1.0)

@@ -212,14 +212,21 @@ def build_entry_planes(pre: PreprocessOut, lists: TileLists, cfg: TileConfig) ->
     src_slot = jnp.clip(src_slot.reshape(-1), 0, e - 1)
     src = jnp.where(live, lists.sorted_idx[src_slot], 0)
 
-    # Row-major (N, 9) field matrix: the gather pulls contiguous 36 B rows.
-    fields = jnp.concatenate(
-        [pre.mean2d, pre.conic, pre.alpha[:, None], pre.rgb], axis=1
-    )  # (N, 9): mx, my, A, B, C, alpha, r, g, b
-    gathered = jnp.take(fields, src, axis=0)  # (E_al, 9)
-    # Dead/padding slots are exact no-ops: alpha = 0.
-    gathered = gathered.at[:, 5].set(jnp.where(live, gathered[:, 5], 0.0))
-    ent = gathered.T.reshape(N_PLANES, e_al // ROW, ROW)
+    # Per-field 1D gathers: multi-column gathers force lane-padded layouts on
+    # TPU (a (E, 9) gather materializes with ~57x padding); 1D gathers don't.
+    alpha_g = jnp.where(live, pre.alpha[src], 0.0)  # dead slots: exact no-ops
+    planes = [
+        pre.mean2d[:, 0][src],
+        pre.mean2d[:, 1][src],
+        pre.conic[:, 0][src],
+        pre.conic[:, 1][src],
+        pre.conic[:, 2][src],
+        alpha_g,
+        pre.rgb[:, 0][src],
+        pre.rgb[:, 1][src],
+        pre.rgb[:, 2][src],
+    ]
+    ent = jnp.stack(planes, axis=0).reshape(N_PLANES, e_al // ROW, ROW)
     return EntryPlanes(
         ent=ent,
         row_starts=aligned_starts[:-1] // ROW,
