@@ -17,6 +17,11 @@ import time
 import jax
 import jax.numpy as jnp
 
+# Persistent compile cache: first-run compiles on this platform go through a
+# slow remote helper; cached reruns are instant.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_gs3d")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)

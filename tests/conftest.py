@@ -12,3 +12,8 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_gs3d_cpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

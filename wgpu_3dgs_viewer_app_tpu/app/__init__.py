@@ -1,3 +1,4 @@
+from .persistence import load_compressions, restore_state, save_state
 from .export import ExportChoice, export_models
 from .loader import Loadable, StreamingLoader
 from .measurement import (
@@ -36,4 +37,7 @@ __all__ = [
     "Selection",
     "SelectionEdit",
     "SelectionMethod",
+    "load_compressions",
+    "restore_state",
+    "save_state",
 ]

@@ -19,10 +19,10 @@ from __future__ import annotations
 import dataclasses
 from typing import List
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..core.lines import project_points as _project_points, rasterize_lines
 from ..query.hit import MeasurementHitMethod
 
 
@@ -56,56 +56,6 @@ class Measurement:
 
     hit_pairs: List[MeasurementHitPair] = dataclasses.field(default_factory=list)
     hit_method: MeasurementHitMethod = MeasurementHitMethod.MOST_ALPHA
-
-
-def _project_points(pts, view, proj, width, height):
-    """(M, 3) world -> (M, 2) pixel + (M,) depth + (M,) in-front flag."""
-    ones = jnp.ones((pts.shape[0], 1), jnp.float32)
-    clip = jnp.concatenate([pts, ones], axis=1) @ (proj @ view).T
-    w = clip[:, 3:4]
-    in_front = w[:, 0] > 1e-6
-    ndc = clip[:, :3] / jnp.where(jnp.abs(w) < 1e-9, 1e-9, w)
-    px = (ndc[:, 0] * 0.5 + 0.5) * width
-    py = (0.5 - ndc[:, 1] * 0.5) * height
-    return jnp.stack([px, py], -1), -(-w[:, 0]), in_front
-
-
-@jax.jit
-def rasterize_lines(
-    img: jnp.ndarray,
-    a_px: jnp.ndarray,
-    b_px: jnp.ndarray,
-    colors: jnp.ndarray,
-    widths: jnp.ndarray,
-    live: jnp.ndarray,
-) -> jnp.ndarray:
-    """Draw M screen-space segments over (H, W, 3).
-
-    a_px/b_px (M, 2); colors (M, 4); widths (M,) px; live (M,) bool.
-    Distance-to-segment test per pixel, vectorized over segments.
-    """
-    h, w = img.shape[:2]
-    ys = jnp.arange(h, dtype=jnp.float32)[:, None] + 0.5
-    xs = jnp.arange(w, dtype=jnp.float32)[None, :] + 0.5
-
-    def one(img, seg):
-        a, b, col, lw, lv = seg
-        ab = b - a
-        denom = jnp.maximum(jnp.dot(ab, ab), 1e-9)
-        tx = ((xs - a[0]) * ab[0] + (ys - a[1]) * ab[1]) / denom
-        t = jnp.clip(tx, 0.0, 1.0)
-        cx = a[0] + t * ab[0]
-        cy = a[1] + t * ab[1]
-        d2 = (xs - cx) ** 2 + (ys - cy) ** 2
-        half = jnp.maximum(lw * 0.5, 0.5)
-        cover = jnp.clip(half + 0.5 - jnp.sqrt(d2), 0.0, 1.0) * col[3] * lv
-        out = img * (1.0 - cover[..., None]) + cover[..., None] * col[:3]
-        return out, None
-
-    img, _ = jax.lax.scan(
-        one, img, (a_px, b_px, colors, widths, live.astype(jnp.float32))
-    )
-    return img
 
 
 def render_measurement_overlay(

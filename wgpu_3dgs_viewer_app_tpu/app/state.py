@@ -383,11 +383,31 @@ class GaussianSplattingSession:
         img = self.viewer.render(
             self.camera.control, show_unedited=self.selection.show_unedited
         )
+        # Overlays in the reference's paint order (`src/tab/scene.rs:2283-2325`):
+        # mask gizmos -> measurement lines -> selection overlay / brush cursor.
+        from ..mask.gizmo import render_mask_gizmos
+        from ..query.overlay import overlay_cursor_ring, overlay_texture
+
+        img = render_mask_gizmos(
+            img, self.mask.shapes, self.viewer._view, self.viewer._proj
+        )
         img = render_measurement_overlay(
             img,
             self.measurement,
             self.viewer._view,
             self.viewer._proj,
         )
+        if self.toolset.state() is not None and self.toolset.use_texture:
+            img = overlay_texture(img, self.toolset.texture)
+        if (
+            self.action == Action.SELECTION
+            and self.selection.method == SelectionMethod.BRUSH
+            and self.toolset._last_pos is not None
+        ):
+            img = overlay_cursor_ring(
+                img,
+                jnp.asarray(self.toolset._last_pos, jnp.float32),
+                jnp.float32(self.selection.brush_radius),
+            )
         self.fps.tick()
         return img

@@ -10,8 +10,12 @@ Conventions (this framework):
 - pixel coords: x right, y DOWN (top-left origin), so the y row of the
   projection Jacobian is negated.
 
-All functions are vectorized over the leading splat axis and fuse into the
-surrounding preprocess under jit.
+TPU note: every matrix product here is SCALAR-EXPANDED into (N,) component
+arithmetic. Batched (N, 3, 3)/(N, 2, 3) matmuls are pathological on TPU —
+XLA pads the tiny minor dims to full (sublane, 128-lane) tiles, a measured
+~43-57x HBM blowup at N = 6M (11.4 GB for one (6M,3,3) temp). Component form
+keeps everything in flat (N,) arrays the VPU streams at full f32 precision
+(no MXU bf16 rounding either).
 """
 
 from __future__ import annotations
@@ -23,40 +27,67 @@ import jax.numpy as jnp
 COV2D_DILATION = 0.3
 
 
-def quat_to_mat3_jnp(q: jnp.ndarray) -> jnp.ndarray:
-    """Quaternion (w, x, y, z), possibly unnormalized -> (..., 3, 3) rotation."""
+def quat_rot_components(q: jnp.ndarray) -> tuple:
+    """Quaternion (..., 4) (w, x, y, z), possibly unnormalized -> the nine
+    rotation-matrix components as a 3x3 nested tuple of (...,) arrays."""
     q = q / jnp.linalg.norm(q, axis=-1, keepdims=True)
     w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
-    row0 = jnp.stack([1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)], -1)
-    row1 = jnp.stack([2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)], -1)
-    row2 = jnp.stack([2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)], -1)
-    return jnp.stack([row0, row1, row2], -2)
+    return (
+        (1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)),
+        (2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)),
+        (2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)),
+    )
+
+
+def quat_to_mat3_jnp(q: jnp.ndarray) -> jnp.ndarray:
+    """Quaternion (..., 4) -> (..., 3, 3) rotation (for host-side/small use)."""
+    r = quat_rot_components(q)
+    return jnp.stack([jnp.stack(row, -1) for row in r], -2)
 
 
 def cov3d_from_scale_rot(scale: jnp.ndarray, quat: jnp.ndarray) -> jnp.ndarray:
     """Sigma = R S S^T R^T, packed as 6 uniques (xx, xy, xz, yy, yz, zz).
 
     `scale`: (..., 3) linear scales (PLY stores log-scale; exp() upstream).
-    `quat`: (..., 4) (w, x, y, z).
+    `quat`: (..., 4) (w, x, y, z). Component-expanded (see module note).
     """
-    r = quat_to_mat3_jnp(quat)
-    m = r * scale[..., None, :]  # R @ diag(s)
-    sigma = m @ jnp.swapaxes(m, -1, -2)
+    r = quat_rot_components(quat)
+    s2 = (scale[..., 0] ** 2, scale[..., 1] ** 2, scale[..., 2] ** 2)
+
+    def sig(i, j):
+        return (
+            r[i][0] * s2[0] * r[j][0]
+            + r[i][1] * s2[1] * r[j][1]
+            + r[i][2] * s2[2] * r[j][2]
+        )
+
     return jnp.stack(
-        [
-            sigma[..., 0, 0],
-            sigma[..., 0, 1],
-            sigma[..., 0, 2],
-            sigma[..., 1, 1],
-            sigma[..., 1, 2],
-            sigma[..., 2, 2],
-        ],
-        axis=-1,
+        [sig(0, 0), sig(0, 1), sig(0, 2), sig(1, 1), sig(1, 2), sig(2, 2)], axis=-1
+    )
+
+
+def transform_cov6(cov6: jnp.ndarray, m: jnp.ndarray) -> jnp.ndarray:
+    """Congruence transform Sigma' = M Sigma M^T for a (3, 3) scalar matrix M.
+
+    cov6 (N, 6) packed; returns (N, 6) packed. Component-expanded.
+    """
+    xx, xy, xz, yy, yz, zz = (cov6[..., i] for i in range(6))
+    s = ((xx, xy, xz), (xy, yy, yz), (xz, yz, zz))
+
+    # t[i][k] = sum_c M[i, c] * Sigma[c, k]
+    def t(i, k):
+        return m[i, 0] * s[0][k] + m[i, 1] * s[1][k] + m[i, 2] * s[2][k]
+
+    def out(i, j):
+        return t(i, 0) * m[j, 0] + t(i, 1) * m[j, 1] + t(i, 2) * m[j, 2]
+
+    return jnp.stack(
+        [out(0, 0), out(0, 1), out(0, 2), out(1, 1), out(1, 2), out(2, 2)], axis=-1
     )
 
 
 def unpack_cov3d(cov6: jnp.ndarray) -> jnp.ndarray:
-    """(..., 6) packed uniques -> (..., 3, 3) symmetric matrix."""
+    """(..., 6) packed uniques -> (..., 3, 3) symmetric matrix (small use only)."""
     xx, xy, xz, yy, yz, zz = (cov6[..., i] for i in range(6))
     return jnp.stack(
         [
@@ -79,16 +110,18 @@ def project_cov3d_to_cov2d(
 
     cov6:   (N, 6) packed world-space covariance.
     t_view: (N, 3) splat centers in view space (camera looks down -Z).
-    view3:  (3, 3) rotation part of the view matrix.
+    view3:  (3, 3) rotation part of the view matrix (scalar).
     focal:  (fx, fy) focal lengths in pixels.
     tan_half_fov: (tan_fov_x/2, tan_fov_y/2) for center clamping.
     Returns (N, 3): (a, b, c) of the symmetric 2D covariance
     [[a, b], [b, c]] in pixel^2 (y down), including the low-pass dilation.
+
+    Fully component-expanded: cov2d = (J W) Sigma (J W)^T with
+    J = [[fx/d, 0, fx*tx/d^2], [0, -fy/d, -fy*ty/d^2]].
     """
     fx, fy = focal
     tx, ty, tz = t_view[..., 0], t_view[..., 1], t_view[..., 2]
-    d = -tz  # positive depth in front of camera
-    d = jnp.maximum(d, 1e-6)
+    d = jnp.maximum(-tz, 1e-6)  # positive depth in front of camera
 
     # Clamp the projected center to ~1.3x the frustum to bound the Jacobian
     # at grazing angles (standard 3DGS trick).
@@ -98,18 +131,26 @@ def project_cov3d_to_cov2d(
 
     inv_d = 1.0 / d
     inv_d2 = inv_d * inv_d
-    # J rows: dx_px/d(view), dy_px/d(view); y negated for y-down pixels.
-    zeros = jnp.zeros_like(d)
-    j0 = jnp.stack([fx * inv_d, zeros, fx * txc * inv_d2], -1)
-    j1 = jnp.stack([zeros, -fy * inv_d, -fy * tyc * inv_d2], -1)
-    J = jnp.stack([j0, j1], -2)  # (N, 2, 3)
+    j00 = fx * inv_d
+    j02 = fx * txc * inv_d2
+    j11 = -fy * inv_d
+    j12 = -fy * tyc * inv_d2
 
-    sigma = unpack_cov3d(cov6)  # (N, 3, 3)
-    JW = J @ view3  # (N, 2, 3)
-    cov2d = JW @ sigma @ jnp.swapaxes(JW, -1, -2)  # (N, 2, 2)
-    a = cov2d[..., 0, 0] + COV2D_DILATION
-    b = cov2d[..., 0, 1]
-    c = cov2d[..., 1, 1] + COV2D_DILATION
+    # Rows of JW (each component is a (N,) array; view3 entries are scalars).
+    p = [j00 * view3[0, k] + j02 * view3[2, k] for k in range(3)]
+    q = [j11 * view3[1, k] + j12 * view3[2, k] for k in range(3)]
+
+    xx, xy, xz, yy, yz, zz = (cov6[..., i] for i in range(6))
+    sp0 = xx * p[0] + xy * p[1] + xz * p[2]
+    sp1 = xy * p[0] + yy * p[1] + yz * p[2]
+    sp2 = xz * p[0] + yz * p[1] + zz * p[2]
+    sq0 = xx * q[0] + xy * q[1] + xz * q[2]
+    sq1 = xy * q[0] + yy * q[1] + yz * q[2]
+    sq2 = xz * q[0] + yz * q[1] + zz * q[2]
+
+    a = p[0] * sp0 + p[1] * sp1 + p[2] * sp2 + COV2D_DILATION
+    b = q[0] * sp0 + q[1] * sp1 + q[2] * sp2
+    c = q[0] * sq0 + q[1] * sq1 + q[2] * sq2 + COV2D_DILATION
     return jnp.stack([a, b, c], -1)
 
 

@@ -94,6 +94,10 @@ def eval_sh(
     if not no_sh0:
         color = color + SH_C0 * sh0_rgb
     if degree >= 1:
+        import jax
+
         basis = sh_basis(dirs, degree)  # (..., 15)
-        color = color + jnp.einsum("...k,...kc->...c", basis, sh_rest)
+        color = color + jnp.einsum(
+            "...k,...kc->...c", basis, sh_rest, precision=jax.lax.Precision.HIGHEST
+        )
     return color

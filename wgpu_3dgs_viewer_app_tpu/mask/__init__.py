@@ -1,3 +1,4 @@
+from .gizmo import render_mask_gizmos, shape_segments
 from .evaluate import MaskEvaluator, evaluate_mask_numpy
 from .expr import MaskOp, MaskParseError, parse
 from .shapes import MaskOpShapePod, MaskShape, MaskShapeKind, shape_contains
@@ -12,4 +13,6 @@ __all__ = [
     "MaskShape",
     "MaskShapeKind",
     "shape_contains",
+    "render_mask_gizmos",
+    "shape_segments",
 ]

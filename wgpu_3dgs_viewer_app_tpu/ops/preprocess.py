@@ -23,7 +23,11 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from ..core.covariance import cov2d_to_conic_radius, project_cov3d_to_cov2d
+from ..core.covariance import (
+    cov2d_to_conic_radius,
+    project_cov3d_to_cov2d,
+    transform_cov6,
+)
 from ..core.edit import apply_edit
 from ..core.sh import eval_sh
 from ..data.compression import Compressions, unpack_color0, unpack_cov3d, unpack_sh
@@ -104,20 +108,22 @@ def preprocess(
     color0_rgb, color0_a = unpack_color0(pod)
     cov6 = unpack_cov3d(pod)
 
+    # All fixed-size matrix algebra is component-expanded: batched tiny
+    # matmuls blow up HBM with tile padding on TPU and round through bf16 on
+    # the MXU (see core/covariance.py module note).
+
     # --- model transform ---
     m3 = model[:3, :3]
-    p_world = pos @ m3.T + model[:3, 3]
+    p_world = _apply_affine(pos, m3, model[:3, 3])
     # Covariance transforms with the linear part: Sigma' = M3 Sigma M3^T.
     # The gaussian `size` multiplier scales the splat extent (sigma *= size),
     # i.e. Sigma *= size^2, applied before the screen-space dilation.
-    sig = _unpack6(cov6)
-    sig_w = m3 @ sig @ m3.T
     s2 = jnp.float32(size) * jnp.float32(size)
-    cov6_w = _pack6(sig_w) * s2
+    cov6_w = transform_cov6(cov6, m3) * s2
 
     # --- view transform + depth ---
     v3 = view[:3, :3]
-    t_view = p_world @ v3.T + view[:3, 3]
+    t_view = _apply_affine(p_world, v3, view[:3, 3])
     depth = -t_view[:, 2]
 
     # --- projection to pixels ---
@@ -206,20 +212,14 @@ def preprocess(
     )
 
 
-def _unpack6(c6):
-    xx, xy, xz, yy, yz, zz = (c6[..., i] for i in range(6))
+def _apply_affine(pts: jnp.ndarray, m3: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
+    """(N, 3) points through a scalar (3, 3) + (3,) affine, component-wise."""
+    x, y, z = pts[..., 0], pts[..., 1], pts[..., 2]
     return jnp.stack(
         [
-            jnp.stack([xx, xy, xz], -1),
-            jnp.stack([xy, yy, yz], -1),
-            jnp.stack([xz, yz, zz], -1),
+            m3[0, 0] * x + m3[0, 1] * y + m3[0, 2] * z + t[0],
+            m3[1, 0] * x + m3[1, 1] * y + m3[1, 2] * z + t[1],
+            m3[2, 0] * x + m3[2, 1] * y + m3[2, 2] * z + t[2],
         ],
-        -2,
-    )
-
-
-def _pack6(s):
-    return jnp.stack(
-        [s[..., 0, 0], s[..., 0, 1], s[..., 0, 2], s[..., 1, 1], s[..., 1, 2], s[..., 2, 2]],
-        -1,
+        axis=-1,
     )

@@ -1,3 +1,4 @@
+from .overlay import overlay_cursor_ring, overlay_texture
 from .hit import MeasurementHitMethod, alpha_at_pixel, query_hit
 from .pods import QueryBrushPod, QueryHitPod, QueryNonePod, QueryRectPod, QuerySelectionOp
 from .selection import (
@@ -24,4 +25,6 @@ __all__ = [
     "sample_texture_at_centers",
     "select_brush_segment",
     "select_rect",
+    "overlay_cursor_ring",
+    "overlay_texture",
 ]
