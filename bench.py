@@ -27,7 +27,7 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def build(n, w, h, sh_degree, display_mode, tile=16, max_dup=8, seed=0):
+def build(n, w, h, sh_degree, display_mode, tile=16, max_dup=4, seed=0):
     from wgpu_3dgs_viewer_app_tpu.core import CameraOrbitControl
     from wgpu_3dgs_viewer_app_tpu.data import Compressions, make_random_scene, pack_gaussians
     from wgpu_3dgs_viewer_app_tpu.ops import TileConfig
@@ -44,10 +44,9 @@ def build(n, w, h, sh_degree, display_mode, tile=16, max_dup=8, seed=0):
 
 def frame_fn(comp, cfg, sh_degree, display_mode, use_pallas):
     from wgpu_3dgs_viewer_app_tpu.ops import (
-        build_entry_planes,
-        build_tile_lists,
-        composite_tiles_jnp,
-        composite_tiles_pallas,
+        build_sorted_entries,
+        composite_tiles_jnp_v2,
+        composite_tiles_pallas_v2,
         preprocess,
     )
 
@@ -56,12 +55,11 @@ def frame_fn(comp, cfg, sh_degree, display_mode, use_pallas):
             pod, comp, view, proj, jnp.eye(4), cfg.width, cfg.height,
             sh_degree=sh_degree, display_mode=display_mode,
         )
-        lists = build_tile_lists(pre, cfg)
-        planes = build_entry_planes(pre, lists, cfg)
+        entries = build_sorted_entries(pre, cfg)
         flat = display_mode != 0
         if use_pallas:
-            return composite_tiles_pallas(planes, cfg, flat_mode=flat)
-        return composite_tiles_jnp(planes, cfg, flat_mode=flat)
+            return composite_tiles_pallas_v2(entries, cfg, flat_mode=flat)
+        return composite_tiles_jnp_v2(entries, cfg, flat_mode=flat)
 
     return step
 

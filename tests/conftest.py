@@ -6,7 +6,7 @@ Tests run on an 8-device virtual CPU mesh so multi-chip sharding paths
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"  # force: ambient env may say axon/tpu
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -205,7 +205,7 @@ def test_measurement_overlay_draws_line():
     cam = CameraOrbitControl(target=(0, 0, 0), pos=(0, 0, -4))
     img = jnp.zeros((64, 64, 3))
     m = Measurement()
-    pair = MeasurementHitPair(label="p")
+    pair = MeasurementHitPair(label="p", line_width=2.0)
     pair.hits[0].pos = np.array([-0.5, 0, 0], np.float32)
     pair.hits[1].pos = np.array([0.5, 0, 0], np.float32)
     m.hit_pairs.append(pair)

@@ -115,7 +115,7 @@ def test_pack_unpack_fidelity(comp):
     elif comp.sh == ShCompression.HALF:
         np.testing.assert_allclose(np.asarray(sh), g.sh_rest, atol=2e-3)
     elif comp.sh == ShCompression.NORM8:
-        span = g.sh_rest.reshape(64, -1).ptp(axis=1).max()
+        span = np.ptp(g.sh_rest.reshape(64, -1), axis=1).max()
         np.testing.assert_allclose(np.asarray(sh), g.sh_rest, atol=span / 255 + 1e-6)
     else:
         np.testing.assert_array_equal(np.asarray(sh), 0)

@@ -196,3 +196,49 @@ def test_model_transform_moves_image():
     assert np.abs(a - b).max() > 0.05
     # alpha mass conserved approximately (same splats, shifted)
     assert abs(a[..., 3].sum() - b[..., 3].sum()) / max(a[..., 3].sum(), 1) < 0.2
+
+
+def test_v2_payload_carry_matches_oracle():
+    from wgpu_3dgs_viewer_app_tpu.ops import build_sorted_entries, composite_tiles_jnp_v2
+
+    _, _, pre, _, _ = setup_scene(sh_degree=3)
+    cfg = TileConfig(128, 128, tile=16, max_dup=16)
+    entries = build_sorted_entries(pre, cfg)
+    img = np.asarray(composite_tiles_jnp_v2(entries, cfg))
+    ref = np.asarray(rasterize_reference(pre, 128, 128))
+    # v2 quantizes mean/conic/alpha to f16 and rgb to u8 on top of the
+    # depth-key quantization; tolerances reflect that.
+    assert np.abs(img - ref).mean() < 4e-3
+    assert np.abs(img - ref).max() < 0.08
+
+
+def test_v2_pallas_interpret_matches_jnp():
+    from wgpu_3dgs_viewer_app_tpu.ops import (
+        build_sorted_entries,
+        composite_tiles_jnp_v2,
+        composite_tiles_pallas_v2,
+    )
+
+    _, _, pre, _, _ = setup_scene(n=256, w=64, h=64, sh_degree=1)
+    cfg = TileConfig(64, 64, tile=16, max_dup=16)
+    entries = build_sorted_entries(pre, cfg)
+    a = composite_tiles_jnp_v2(entries, cfg)
+    b = composite_tiles_pallas_v2(entries, cfg, interpret=True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_f16_bit_roundtrip():
+    from wgpu_3dgs_viewer_app_tpu.ops.binning import _pack2xf16, unpack2xf16
+
+    x = np.random.default_rng(0).uniform(-500, 500, 4096).astype(np.float32)
+    y = np.random.default_rng(1).uniform(0, 1, 4096).astype(np.float32)
+    w = _pack2xf16(jnp.asarray(x), jnp.asarray(y))
+    a, b = unpack2xf16(w)
+    # Within 1 ulp of numpy's f16 round-trip (we round half-up, numpy RNE).
+    ref_a = x.astype(np.float16).astype(np.float32)
+    ref_b = y.astype(np.float16).astype(np.float32)
+    assert np.abs(np.asarray(a) - ref_a).max() <= np.spacing(np.float16(500)).astype(np.float32)
+    assert np.abs(np.asarray(b) - ref_b).max() <= 1e-3
+    # zeros stay exactly zero
+    z, _ = unpack2xf16(_pack2xf16(jnp.zeros(8), jnp.zeros(8)))
+    np.testing.assert_array_equal(np.asarray(z), 0.0)

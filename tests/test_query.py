@@ -79,10 +79,11 @@ def grid_scene():
 
 def test_select_rect_halves():
     g, pre = grid_scene()
-    # Left half of the screen = splats with x < 0 (y-down flip doesn't matter).
+    # Camera sits at -Z looking at the origin, so world +X appears on the
+    # LEFT of the screen (mirrored view, right-handed look_at).
     bits = np.asarray(select_rect(pre, (0, 0), (W / 2, H)))
     got = set(np.nonzero(bits)[0].tolist())
-    expect = set(np.nonzero(g.pos[:, 0] < -0.01)[0].tolist())
+    expect = set(np.nonzero(g.pos[:, 0] > 0.01)[0].tolist())
     assert got == expect
 
 

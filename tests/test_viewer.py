@@ -47,7 +47,7 @@ def test_multi_model_back_to_front():
     v.add_model("a", comp_scene)
     v.add_model("b", comp_scene)
     # Push model b behind model a.
-    v.models["b"].transform = ModelTransform(pos=np.array([0, 0, 3.0], np.float32))
+    v.models["b"].transform = ModelTransform(pos=np.array([0.8, 0, 3.0], np.float32))
     v.update_camera(CAM)
     order = v.model_order()
     assert order == ["b", "a"]  # farthest first

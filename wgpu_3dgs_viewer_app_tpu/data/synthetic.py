@@ -29,7 +29,7 @@ def make_random_scene(
 
     pos = uni(-extent, extent, (n, 3))
     # Base colors spread over the cube for visual structure.
-    sh0 = ((pos / extent) * 0.5 + rng.standard_normal((n, 3), dtype=np.float32) * 0.15) / np.float32(
+    sh0 = ((pos / max(extent, 1e-6)) * 0.5 + rng.standard_normal((n, 3), dtype=np.float32) * 0.15) / np.float32(
         0.28209479177387814
     )
     sh_rest = rng.standard_normal((n, 15, 3), dtype=np.float32) * np.float32(sh_rest_std)

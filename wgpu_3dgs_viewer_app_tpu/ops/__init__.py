@@ -1,14 +1,18 @@
 from .binning import (
     EntryPlanes,
+    SortedEntries,
     TileConfig,
     TileLists,
     build_entry_planes,
+    build_sorted_entries,
     build_tile_lists,
 )
 from .composite import (
     composite_tiles,
     composite_tiles_jnp,
+    composite_tiles_jnp_v2,
     composite_tiles_pallas,
+    composite_tiles_pallas_v2,
     over_background,
 )
 from .preprocess import PreprocessOut, preprocess
@@ -16,6 +20,10 @@ from .rasterize_ref import rasterize_reference
 
 __all__ = [
     "EntryPlanes",
+    "SortedEntries",
+    "build_sorted_entries",
+    "composite_tiles_jnp_v2",
+    "composite_tiles_pallas_v2",
     "TileConfig",
     "TileLists",
     "build_entry_planes",

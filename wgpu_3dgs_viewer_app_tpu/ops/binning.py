@@ -232,3 +232,171 @@ def build_entry_planes(pre: PreprocessOut, lists: TileLists, cfg: TileConfig) ->
         row_starts=aligned_starts[:-1] // ROW,
         tile_counts=counts,
     )
+
+
+# ---------------------------------------------------------------------------
+# v2: payload-carry binning — no post-sort gathers, no alignment pass.
+#
+# Measured on v5e at E = 24M: one XLA gather is ~7.6 ns/element (183 ms for a
+# single 24M gather), so the v1 gather-based plane build costs ~1-2 s at 6M
+# splats. Carrying data *through* `lax.sort` costs ~32 ms per u32 payload at
+# 24M. v2 therefore packs the 9 per-entry fields into 4 u32 payloads
+# (f16 tile-relative mean, f16 conic, f16 alpha, u8 rgb), sorts once, and
+# hands the sorted payload planes straight to the compositor, which masks the
+# unaligned head/tail of each tile's run instead of re-aligning storage.
+# ---------------------------------------------------------------------------
+
+N_PACKED_PLANES = 4
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class SortedEntries:
+    """Sorted packed entries + per-tile ranges (v2 layout).
+
+    planes (4, R, 128) u32 — per entry:
+      plane 0: mean_rel_x f16 | mean_rel_y f16   (relative to the entry's tile
+                                                  origin; f16 error << sigma)
+      plane 1: conic_a f16 | conic_b f16
+      plane 2: conic_c f16 | alpha f16
+      plane 3: r u8 | g u8 | b u8 | 0
+    Runs are NOT row-aligned: tile t occupies entries [starts[t],
+    starts[t]+counts[t]) of the flat sorted order; the compositor masks
+    entries outside the run inside its first/last rows.
+    """
+
+    planes: jnp.ndarray       # (4, R, 128) u32
+    tile_starts: jnp.ndarray  # (n_tiles,) i32
+    tile_counts: jnp.ndarray  # (n_tiles,) i32
+    n_valid: jnp.ndarray      # () i32
+
+    def tree_flatten(self):
+        return ((self.planes, self.tile_starts, self.tile_counts, self.n_valid), None)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+def _f32_to_f16_bits(x: jnp.ndarray) -> jnp.ndarray:
+    """f32 -> IEEE f16 bit pattern held in u32 (low 16 bits).
+
+    Pure u32 bit math: no 16-bit dtypes (u16 converts deadlock the XLA CPU
+    runtime in this environment, and Mosaic prefers 32-bit lanes anyway).
+    Subnormals flush to zero; overflow clamps to f16 max; round-half-up.
+    """
+    b = jax.lax.bitcast_convert_type(x.astype(jnp.float32), jnp.uint32)
+    sign = (b >> jnp.uint32(16)) & jnp.uint32(0x8000)
+    exp = ((b >> jnp.uint32(23)) & jnp.uint32(0xFF)).astype(jnp.int32)
+    mant = b & jnp.uint32(0x7FFFFF)
+    # Round mantissa to 10 bits (half-up), propagating carry into the exponent.
+    mant_r = (mant + jnp.uint32(0x1000)) >> jnp.uint32(13)
+    carry = (mant_r >> jnp.uint32(10)).astype(jnp.int32)
+    mant_h = jnp.where(carry > 0, jnp.uint32(0), mant_r) & jnp.uint32(0x3FF)
+    exp_h = exp - 112 + carry
+    half = sign | (jnp.clip(exp_h, 0, 30).astype(jnp.uint32) << jnp.uint32(10)) | mant_h
+    half = jnp.where(exp_h <= 0, sign, half)          # underflow -> signed 0
+    half = jnp.where(exp_h > 30, sign | jnp.uint32(0x7BFF), half)  # clamp to f16 max
+    return half
+
+
+def _f16_bits_to_f32(h: jnp.ndarray) -> jnp.ndarray:
+    """IEEE f16 bit pattern in u32 -> f32 (subnormals treated as zero)."""
+    sign = (h & jnp.uint32(0x8000)) << jnp.uint32(16)
+    exp = (h >> jnp.uint32(10)) & jnp.uint32(0x1F)
+    mant = h & jnp.uint32(0x3FF)
+    f32bits = sign | ((exp + jnp.uint32(112)) << jnp.uint32(23)) | (mant << jnp.uint32(13))
+    f32bits = jnp.where(exp == 0, sign, f32bits)
+    return jax.lax.bitcast_convert_type(f32bits, jnp.float32)
+
+
+def _pack2xf16(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Two f32 -> one u32 (a in low 16 bits, b in high)."""
+    return _f32_to_f16_bits(a) | (_f32_to_f16_bits(b) << jnp.uint32(16))
+
+
+def unpack2xf16(w: jnp.ndarray) -> tuple:
+    """One u32 -> two f32 (low, high f16 halves). Used by both compositors."""
+    lo = _f16_bits_to_f32(w & jnp.uint32(0xFFFF))
+    hi = _f16_bits_to_f32(w >> jnp.uint32(16))
+    return lo, hi
+
+
+def unpack_rgb8(w: jnp.ndarray) -> tuple:
+    s = jnp.float32(1.0 / 255.0)
+    r = (w & jnp.uint32(0xFF)).astype(jnp.float32) * s
+    g = ((w >> jnp.uint32(8)) & jnp.uint32(0xFF)).astype(jnp.float32) * s
+    b = ((w >> jnp.uint32(16)) & jnp.uint32(0xFF)).astype(jnp.float32) * s
+    return r, g, b
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def build_sorted_entries(pre: PreprocessOut, cfg: TileConfig) -> SortedEntries:
+    """Duplicate -> pack -> sort-with-payloads -> per-tile ranges."""
+    n = pre.mean2d.shape[0]
+    tile = float(cfg.tile)
+    ntx, nty = cfg.tiles_x, cfg.tiles_y
+    dmax = cfg.max_dup
+
+    x, y, r = pre.mean2d[:, 0], pre.mean2d[:, 1], pre.radius
+    tx0 = jnp.clip(jnp.floor((x - r) / tile), 0, ntx - 1).astype(jnp.int32)
+    tx1 = jnp.clip(jnp.floor((x + r) / tile), 0, ntx - 1).astype(jnp.int32)
+    ty0 = jnp.clip(jnp.floor((y - r) / tile), 0, nty - 1).astype(jnp.int32)
+    ty1 = jnp.clip(jnp.floor((y + r) / tile), 0, nty - 1).astype(jnp.int32)
+    rw = tx1 - tx0 + 1
+    n_touched = rw * (ty1 - ty0 + 1)
+    dkey = depth_key_bits(pre.depth, cfg.depth_bits)
+
+    j = jnp.arange(dmax, dtype=jnp.int32)[None, :]  # (1, D)
+    etx = tx0[:, None] + j % rw[:, None]
+    ety = ty0[:, None] + j // rw[:, None]
+    tile_id = ety * ntx + etx  # (N, D)
+    live = pre.valid[:, None] & (j < n_touched[:, None])
+
+    sentinel = jnp.uint32(0xFFFFFFFF)
+    keys = jnp.where(
+        live,
+        (tile_id.astype(jnp.uint32) << jnp.uint32(cfg.depth_bits)) | dkey[:, None],
+        sentinel,
+    ).reshape(-1)
+
+    # Pack per-entry payloads (mean relative to the entry's own tile origin).
+    mrx = x[:, None] - etx.astype(jnp.float32) * tile
+    mry = y[:, None] - ety.astype(jnp.float32) * tile
+    p0 = _pack2xf16(mrx, mry).reshape(-1)
+    p1 = _pack2xf16(
+        jnp.broadcast_to(pre.conic[:, 0:1], (n, dmax)),
+        jnp.broadcast_to(pre.conic[:, 1:2], (n, dmax)),
+    ).reshape(-1)
+    alpha = jnp.where(live, pre.alpha[:, None], 0.0)
+    p2 = _pack2xf16(jnp.broadcast_to(pre.conic[:, 2:3], (n, dmax)), alpha).reshape(-1)
+    rgb8 = (
+        jnp.clip(pre.rgb * 255.0 + 0.5, 0, 255).astype(jnp.uint32)
+    )
+    p3w = rgb8[:, 0] | (rgb8[:, 1] << jnp.uint32(8)) | (rgb8[:, 2] << jnp.uint32(16))
+    p3 = jnp.broadcast_to(p3w[:, None], (n, dmax)).reshape(-1)
+
+    sk, s0, s1, s2, s3 = jax.lax.sort(
+        (keys, p0, p1, p2, p3), num_keys=1, is_stable=False
+    )
+
+    boundaries = (
+        jnp.arange(cfg.n_tiles + 1, dtype=jnp.uint32) << jnp.uint32(cfg.depth_bits)
+    )
+    edges = jnp.searchsorted(sk, boundaries, side="left").astype(jnp.int32)
+    tile_starts = edges[:-1]
+    tile_counts = edges[1:] - edges[:-1]
+
+    e = keys.shape[0]
+    pad = (-e) % ROW
+    planes = jnp.stack([s0, s1, s2, s3], axis=0)
+    if pad:
+        # Padding entries decode to alpha = 0 (all-zero words).
+        planes = jnp.concatenate(
+            [planes, jnp.zeros((N_PACKED_PLANES, pad), jnp.uint32)], axis=1
+        )
+    planes = planes.reshape(N_PACKED_PLANES, (e + pad) // ROW, ROW)
+    n_valid = jnp.sum(live.astype(jnp.int32))
+    return SortedEntries(
+        planes=planes, tile_starts=tile_starts, tile_counts=tile_counts, n_valid=n_valid
+    )

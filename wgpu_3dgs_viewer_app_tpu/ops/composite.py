@@ -286,3 +286,209 @@ def over_background(img: jnp.ndarray, background: jnp.ndarray) -> jnp.ndarray:
     bg = jnp.asarray(background, jnp.float32)
     rgb = img[..., :3] + (1.0 - img[..., 3:4]) * bg
     return rgb
+
+
+# ---------------------------------------------------------------------------
+# v2 compositor: consumes payload-carry `SortedEntries` (see binning v2 note)
+# — packed u32 planes, unaligned runs masked in-kernel, means tile-relative.
+# ---------------------------------------------------------------------------
+
+from .binning import N_PACKED_PLANES, SortedEntries, unpack2xf16, unpack_rgb8  # noqa: E402
+
+
+def _chunk_alpha_packed(p0, p1, p2, p3, px, py, live, flat_mode: bool):
+    """Packed (1, C) u32 rows + local pixel columns (P, 1) -> (P, C) alpha."""
+    mx, my = unpack2xf16(p0)
+    ca, cb = unpack2xf16(p1)
+    cc, op = unpack2xf16(p2)
+    r, g, b = unpack_rgb8(p3)
+    dx = px - mx
+    dy = py - my
+    power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+    if flat_mode:
+        a = jnp.where(power >= FLAT_POWER_CUTOFF, op, 0.0)
+        a = jnp.broadcast_to(a, power.shape)
+    else:
+        a = op * jnp.exp(power)
+    a = jnp.minimum(a, ALPHA_MAX)
+    a = jnp.where((power > 0.0) | (a < ALPHA_EPS) | ~live, 0.0, a)
+    return a, r, g, b
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "flat_mode"))
+def composite_tiles_jnp_v2(
+    entries: SortedEntries,
+    cfg: TileConfig,
+    flat_mode: bool = False,
+) -> jnp.ndarray:
+    """Portable v2 compositor. Returns (H, W, 4) premultiplied rgba."""
+    from .binning import ROW
+
+    tile = cfg.tile
+    p = tile * tile
+    ntx, nty = cfg.tiles_x, cfg.tiles_y
+    planes = entries.planes  # (4, R, 128)
+
+    lane = jnp.arange(p, dtype=jnp.int32)
+    px_local = (lane % tile).astype(jnp.float32)[:, None] + 0.5  # (P, 1)
+    py_local = (lane // tile).astype(jnp.float32)[:, None] + 0.5
+    col = jnp.arange(ROW, dtype=jnp.int32)[None, :]  # (1, C)
+
+    def one_tile(start, count):
+        row0 = start // ROW
+        n_chunks = jnp.where(count > 0, (start + count + ROW - 1) // ROW - row0, 0)
+
+        def cond(state):
+            c, t, _ = state
+            return (c < n_chunks) & (jnp.max(t) > T_EPS)
+
+        def body(state):
+            c, t, rgb = state
+            chunk = jax.lax.dynamic_slice(
+                planes, (0, row0 + c, 0), (N_PACKED_PLANES, 1, ROW)
+            )
+            gidx = (row0 + c) * ROW + col  # global entry index (1, C)
+            live = (gidx >= start) & (gidx < start + count)
+            a, r, g, b = _chunk_alpha_packed(
+                chunk[0], chunk[1], chunk[2], chunk[3], px_local, py_local, live, flat_mode
+            )
+            incl, excl = _excl_cumprod_lanes(1.0 - a, use_roll=False)
+            w = t * excl * a
+            rgb = rgb + jnp.stack(
+                [jnp.sum(w * r, -1), jnp.sum(w * g, -1), jnp.sum(w * b, -1)], -1
+            )
+            t = t * incl[:, -1:]
+            return c + 1, t, rgb
+
+        c0 = jnp.int32(0)
+        t0 = jnp.ones((p, 1), jnp.float32)
+        rgb0 = jnp.zeros((p, 3), jnp.float32)
+        _, t, rgb = jax.lax.while_loop(cond, body, (c0, t0, rgb0))
+        return jnp.concatenate([rgb, 1.0 - t], axis=1)
+
+    tiles = jax.vmap(one_tile)(entries.tile_starts, entries.tile_counts)
+    img = tiles.reshape(nty, ntx, tile, tile, 4).transpose(0, 2, 1, 3, 4)
+    img = img.reshape(nty * tile, ntx * tile, 4)
+    return img[: cfg.height, : cfg.width]
+
+
+def _composite_kernel_v2(
+    starts_ref,
+    counts_ref,
+    planes_hbm,
+    out_ref,
+    *,
+    cfg: TileConfig,
+    flat_mode: bool,
+):
+    from .binning import ROW
+
+    t = pl.program_id(0)
+    tile = cfg.tile
+    p = tile * tile
+    start = starts_ref[t]
+    count = counts_ref[t]
+    row0 = start // ROW
+    n_chunks = jnp.where(count > 0, (start + count + ROW - 1) // ROW - row0, 0)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
+    px = (lane % tile).astype(jnp.float32) + 0.5  # tile-local pixel coords
+    py = (lane // tile).astype(jnp.float32) + 0.5
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, ROW), 1)
+
+    def scoped(buf, t_buf, rgb_buf, sems):
+        t_buf[:] = jnp.ones((p, 1), jnp.float32)
+        rgb_buf[:] = jnp.zeros((p, 4), jnp.float32)
+
+        def get_dma(slot, c):
+            return pltpu.make_async_copy(
+                planes_hbm.at[:, pl.ds(row0 + c, 1), :],
+                buf.at[slot],
+                sems.at[slot],
+            )
+
+        @pl.when(n_chunks > 0)
+        def _():
+            get_dma(0, 0).start()
+
+        def cond(state):
+            c, _ = state
+            return (c < n_chunks) & (jnp.max(t_buf[:]) > T_EPS)
+
+        def body(state):
+            c, _ = state
+            slot = jax.lax.rem(c, 2)
+            nxt = jax.lax.rem(c + 1, 2)
+
+            @pl.when(c + 1 < n_chunks)
+            def _():
+                get_dma(nxt, c + 1).start()
+
+            get_dma(slot, c).wait()
+            chunk = buf[slot]  # (4, 1, ROW) u32
+            gidx = (row0 + c) * ROW + col
+            live = (gidx >= start) & (gidx < start + count)
+            a, r, g, b = _chunk_alpha_packed(
+                chunk[0], chunk[1], chunk[2], chunk[3], px, py, live, flat_mode
+            )
+            incl, excl = _excl_cumprod_lanes(1.0 - a, use_roll=True)
+            tcur = t_buf[:, 0:1]
+            w = tcur * excl * a
+            rgb_buf[:, 0:1] = rgb_buf[:, 0:1] + jnp.sum(w * r, -1, keepdims=True)
+            rgb_buf[:, 1:2] = rgb_buf[:, 1:2] + jnp.sum(w * g, -1, keepdims=True)
+            rgb_buf[:, 2:3] = rgb_buf[:, 2:3] + jnp.sum(w * b, -1, keepdims=True)
+            t_buf[:] = tcur * incl[:, ROW - 1 : ROW]
+            return c + 1, 0
+
+        c_final, _ = jax.lax.while_loop(cond, body, (jnp.int32(0), 0))
+
+        # Drain the dangling prefetch DMA on early exit (see v1 note).
+        @pl.when(c_final < n_chunks)
+        def _():
+            get_dma(jax.lax.rem(c_final, 2), c_final).wait()
+
+        rgb_buf[:, 3:4] = 1.0 - t_buf[:]
+        out_ref[0] = rgb_buf[:].T
+
+    pl.run_scoped(
+        scoped,
+        buf=pltpu.VMEM((2, N_PACKED_PLANES, 1, ROW), jnp.uint32),
+        t_buf=pltpu.VMEM((p, 1), jnp.float32),
+        rgb_buf=pltpu.VMEM((p, 4), jnp.float32),
+        sems=pltpu.SemaphoreType.DMA((2,)),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "flat_mode", "interpret"))
+def composite_tiles_pallas_v2(
+    entries: SortedEntries,
+    cfg: TileConfig,
+    flat_mode: bool = False,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Pallas v2 compositor. Returns (H, W, 4) f32."""
+    tile = cfg.tile
+    p = tile * tile
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(cfg.n_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec((1, 4, p), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
+    )
+    kernel = functools.partial(_composite_kernel_v2, cfg=cfg, flat_mode=flat_mode)
+    tiles = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((cfg.n_tiles, 4, p), jnp.float32),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+    )(entries.tile_starts, entries.tile_counts, entries.planes)
+
+    ntx, nty = cfg.tiles_x, cfg.tiles_y
+    tiles = tiles.transpose(0, 2, 1)
+    img = tiles.reshape(nty, ntx, tile, tile, 4).transpose(0, 2, 1, 3, 4)
+    img = img.reshape(nty * tile, ntx * tile, 4)
+    return img[: cfg.height, : cfg.width]

@@ -28,8 +28,12 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..data.compression import Compressions
-from ..ops.binning import TileConfig, build_entry_planes, build_tile_lists
-from ..ops.composite import composite_tiles_jnp, composite_tiles_pallas, over_background
+from ..ops.binning import TileConfig, build_sorted_entries
+from ..ops.composite import (
+    composite_tiles_jnp_v2,
+    composite_tiles_pallas_v2,
+    over_background,
+)
 from ..ops.preprocess import PreprocessOut, preprocess
 
 
@@ -137,13 +141,12 @@ def render_frame_sharded(
         did = jax.lax.axis_index(axis)
         y0 = did * slab_h
         pre_slab = _clip_to_slab(pre_full, y0, slab_h)
-        lists = build_tile_lists(pre_slab, slab_cfg)
-        planes = build_entry_planes(pre_slab, lists, slab_cfg)
+        entries = build_sorted_entries(pre_slab, slab_cfg)
         flat = display_mode != 0
         if use_pallas:
-            img = composite_tiles_pallas(planes, slab_cfg, flat_mode=flat)
+            img = composite_tiles_pallas_v2(entries, slab_cfg, flat_mode=flat)
         else:
-            img = composite_tiles_jnp(planes, slab_cfg, flat_mode=flat)
+            img = composite_tiles_jnp_v2(entries, slab_cfg, flat_mode=flat)
         return over_background(img, bg_)
 
     return step(pod, view, proj, model, jnp.asarray(background, jnp.float32))

@@ -29,8 +29,12 @@ from ..core.edit import GaussianEditPod, SelectionHighlightPod
 from ..core.transform import GaussianDisplayMode, GaussianTransform, ModelTransform
 from ..data.compression import Compressions
 from ..data.gaussian import Gaussians
-from ..ops.binning import TileConfig, build_entry_planes, build_tile_lists
-from ..ops.composite import composite_tiles_jnp, composite_tiles_pallas, over_background
+from ..ops.binning import TileConfig, build_sorted_entries
+from ..ops.composite import (
+    composite_tiles_jnp_v2,
+    composite_tiles_pallas_v2,
+    over_background,
+)
 from ..ops.preprocess import preprocess
 from .buffers import GaussianBuffers
 
@@ -85,12 +89,11 @@ def render_frame(
         selection_edit=selection_edit,
         highlight_rgba=highlight_rgba if with_highlight else None,
     )
-    lists = build_tile_lists(pre, cfg)
-    planes = build_entry_planes(pre, lists, cfg)
+    entries = build_sorted_entries(pre, cfg)
     flat = display_mode != int(GaussianDisplayMode.SPLAT)
     if use_pallas:
-        return composite_tiles_pallas(planes, cfg, flat_mode=flat)
-    return composite_tiles_jnp(planes, cfg, flat_mode=flat)
+        return composite_tiles_pallas_v2(entries, cfg, flat_mode=flat)
+    return composite_tiles_jnp_v2(entries, cfg, flat_mode=flat)
 
 
 class ViewerModel:
