@@ -15,5 +15,9 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax
 
+# Env vars alone are not enough: a pytest plugin may import jax before this
+# conftest runs, so pin the platform through the config API as well (works
+# any time before first backend creation).
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_gs3d_cpu")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -101,3 +101,56 @@ def eval_sh(
             "...k,...kc->...c", basis, sh_rest, precision=jax.lax.Precision.HIGHEST
         )
     return color
+
+
+N_COEFFS_FOR_DEGREE = {0: 0, 1: 3, 2: 8, 3: 15}
+
+
+def sh_basis_terms(x: jnp.ndarray, y: jnp.ndarray, z: jnp.ndarray, degree: int) -> list:
+    """Rest-coefficient basis values as a list of (N,) arrays (len = coeffs
+    for `degree`). Component form: no (N, 15) materialization — each term
+    stays a flat (N,) array XLA fuses into the consumer (TPU tiny-minor-dim
+    arrays tile-pad badly; see core/covariance.py note)."""
+    terms = []
+    if degree >= 1:
+        terms += [-SH_C1 * y, SH_C1 * z, -SH_C1 * x]
+    if degree >= 2:
+        xx, yy, zz = x * x, y * y, z * z
+        xy, yz, xz = x * y, y * z, x * z
+        terms += [
+            SH_C2[0] * xy,
+            SH_C2[1] * yz,
+            SH_C2[2] * (2.0 * zz - xx - yy),
+            SH_C2[3] * xz,
+            SH_C2[4] * (xx - yy),
+        ]
+    if degree >= 3:
+        xx, yy, zz = x * x, y * y, z * z
+        xy, yz, xz = x * y, y * z, x * z
+        terms += [
+            SH_C3[0] * y * (3.0 * xx - yy),
+            SH_C3[1] * xy * z,
+            SH_C3[2] * y * (4.0 * zz - xx - yy),
+            SH_C3[3] * z * (2.0 * zz - 3.0 * xx - 3.0 * yy),
+            SH_C3[4] * x * (4.0 * zz - xx - yy),
+            SH_C3[5] * z * (xx - yy),
+            SH_C3[6] * x * (xx - yy),
+        ]
+    return terms
+
+
+def eval_sh_rest_channels(coeff_fn, dirs_x, dirs_y, dirs_z, degree: int) -> list:
+    """Accumulate the rest-SH contribution per channel in component form.
+
+    `coeff_fn(k, c)` must return the (N,) f32 coefficient for rest-coeff k,
+    channel c (dequantized on the fly). Returns [r, g, b] (N,) deltas.
+    """
+    basis = sh_basis_terms(dirs_x, dirs_y, dirs_z, degree)
+    out = []
+    for c in range(3):
+        acc = None
+        for k, bk in enumerate(basis):
+            term = bk * coeff_fn(k, c)
+            acc = term if acc is None else acc + term
+        out.append(acc if acc is not None else jnp.zeros_like(dirs_x))
+    return out

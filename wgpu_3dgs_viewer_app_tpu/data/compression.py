@@ -158,6 +158,30 @@ def unpack_sh(pod: dict, comp: Compressions) -> jnp.ndarray:
     return shf.reshape(n, 15, 3)
 
 
+def make_sh_coeff_fn(pod: dict, comp: Compressions):
+    """Per-coefficient dequantizer: (k, c) -> (N,) f32 column (flat layout;
+    avoids materializing the (N, 15, 3) tensor the fused preprocess
+    previously built — see core/covariance.py TPU padding note)."""
+    if comp.sh == ShCompression.REMOVE:
+        n = pod["pos"].shape[0]
+        zero = jnp.zeros(n, jnp.float32)
+        return lambda k, c: zero
+    sh = pod["sh"]
+    if comp.sh == ShCompression.NORM8:
+        mn = pod["sh_minmax"][:, 0]
+        scale = (pod["sh_minmax"][:, 1] - mn) * jnp.float32(1.0 / 255.0)
+
+        def coeff(k, c):
+            return sh[:, k * 3 + c].astype(jnp.float32) * scale + mn
+
+        return coeff
+
+    def coeff(k, c):
+        return sh[:, k * 3 + c].astype(jnp.float32)
+
+    return coeff
+
+
 def unpack_cov3d(pod: dict) -> jnp.ndarray:
     return pod["cov3d"].astype(jnp.float32)
 

@@ -352,6 +352,15 @@ def build_sorted_entries(pre: PreprocessOut, cfg: TileConfig) -> SortedEntries:
     ety = ty0[:, None] + j // rw[:, None]
     tile_id = ety * ntx + etx  # (N, D)
     live = pre.valid[:, None] & (j < n_touched[:, None])
+    # Tight tile culling: drop rect cells whose nearest point to the splat
+    # center is outside the 3-sigma radius (rect corners often miss the
+    # ellipse; typically trims ~20-40% of entries before the sort).
+    ox = etx.astype(jnp.float32) * tile
+    oy = ety.astype(jnp.float32) * tile
+    cx = jnp.clip(x[:, None], ox, ox + tile)
+    cy = jnp.clip(y[:, None], oy, oy + tile)
+    dist2 = (x[:, None] - cx) ** 2 + (y[:, None] - cy) ** 2
+    live = live & (dist2 <= (r * r)[:, None])
 
     sentinel = jnp.uint32(0xFFFFFFFF)
     keys = jnp.where(

@@ -29,8 +29,13 @@ from ..core.covariance import (
     transform_cov6,
 )
 from ..core.edit import apply_edit
-from ..core.sh import eval_sh
-from ..data.compression import Compressions, unpack_color0, unpack_cov3d, unpack_sh
+from ..core.sh import eval_sh_rest_channels
+from ..data.compression import (
+    Compressions,
+    make_sh_coeff_fn,
+    unpack_color0,
+    unpack_cov3d,
+)
 
 ALPHA_EPS = 1.0 / 255.0
 
@@ -157,11 +162,16 @@ def preprocess(
     # --- SH -> RGB ---
     cam_pos = camera_position_from_view(view)
     if sh_degree >= 1:
-        sh_rest = unpack_sh(pod, comp)
-        dirs = p_world - cam_pos
-        dirs = dirs / jnp.maximum(jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-9)
+        dx = p_world[:, 0] - cam_pos[0]
+        dy = p_world[:, 1] - cam_pos[1]
+        dz = p_world[:, 2] - cam_pos[2]
+        inv_n = jax.lax.rsqrt(jnp.maximum(dx * dx + dy * dy + dz * dz, 1e-18))
+        coeff = make_sh_coeff_fn(pod, comp)
         # Degree-0 term comes from the u8 color0 (0.5 + C0*sh0 pre-baked).
-        rgb = eval_sh(jnp.zeros_like(color0_rgb), sh_rest, dirs, sh_degree, no_sh0=True)
+        dr, dg, db = eval_sh_rest_channels(
+            coeff, dx * inv_n, dy * inv_n, dz * inv_n, sh_degree
+        )
+        rgb = jnp.stack([dr, dg, db], axis=-1)
         rgb = rgb + (color0_rgb if not no_sh0 else 0.5)
     else:
         rgb = color0_rgb if not no_sh0 else jnp.full_like(color0_rgb, 0.5)
