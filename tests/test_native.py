@@ -31,12 +31,16 @@ def test_native_pack_matches_numpy(comp):
     out = gsnative.pack_gaussians_native(g, comp)
     assert set(out) == set(ref)
     np.testing.assert_array_equal(out["pos"], ref["pos"])
-    # u8 quantization: allow 1 count of difference from fp rounding paths.
-    assert np.abs(out["color0"].astype(int) - ref["color0"].astype(int)).max() <= 1
+    # u8 quantization: allow 1 count of difference per channel (packed u32).
+    for shift in (0, 8, 16, 24):
+        a = (out["color0"] >> shift) & 0xFF
+        b = (ref["color0"] >> shift) & 0xFF
+        assert np.abs(a.astype(int) - b.astype(int)).max() <= 1
     if "sh" in ref:
         if ref["sh"].dtype == np.uint8:
             assert np.abs(out["sh"].astype(int) - ref["sh"].astype(int)).max() <= 1
-            np.testing.assert_allclose(out["sh_minmax"], ref["sh_minmax"], rtol=1e-6)
+            np.testing.assert_allclose(out["sh_mn"], ref["sh_mn"], rtol=1e-6)
+            np.testing.assert_allclose(out["sh_span"], ref["sh_span"], rtol=1e-6)
         else:
             np.testing.assert_allclose(
                 out["sh"].astype(np.float32), ref["sh"].astype(np.float32), atol=1e-6

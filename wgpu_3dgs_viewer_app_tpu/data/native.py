@@ -40,13 +40,14 @@ def _load():
     lib.gs_pack.argtypes = [
         ctypes.c_void_p,  # records
         ctypes.c_int64,   # n
-        ctypes.c_void_p,  # pos
-        ctypes.c_void_p,  # color0
+        ctypes.c_void_p,  # pos (3, N)
+        ctypes.c_void_p,  # color0 (N,) u32
         ctypes.c_int,     # sh_mode
-        ctypes.c_void_p,  # sh_out
-        ctypes.c_void_p,  # sh_minmax
+        ctypes.c_void_p,  # sh_out (45, N)
+        ctypes.c_void_p,  # sh_mn (N,)
+        ctypes.c_void_p,  # sh_span (N,)
         ctypes.c_int,     # cov_mode
-        ctypes.c_void_p,  # cov_out
+        ctypes.c_void_p,  # cov_out (6, N)
         ctypes.c_int,     # n_threads
     ]
     lib.gs_pack.restype = None
@@ -65,32 +66,34 @@ def pack_gaussians_native(g: Gaussians, comp: Compressions, n_threads: int = 0) 
         return None
     n = g.count
     records = np.ascontiguousarray(g.to_pod_records()).view("<f4").reshape(n, 62)
-    pos = np.empty((n, 3), np.float32)
-    color0 = np.empty((n, 4), np.uint8)
+    pos = np.empty((3, n), np.float32)
+    color0 = np.empty(n, np.uint32)
     sh_mode = _SH_MODE[comp.sh]
     cov_mode = _COV_MODE[comp.cov3d]
-    sh_minmax = np.empty((n, 2), np.float32) if comp.sh == ShCompression.NORM8 else None
+    sh_mn = np.empty(n, np.float32) if comp.sh == ShCompression.NORM8 else None
+    sh_span = np.empty(n, np.float32) if comp.sh == ShCompression.NORM8 else None
     if comp.sh == ShCompression.SINGLE:
-        sh_out = np.empty((n, 45), np.float32)
+        sh_out = np.empty((45, n), np.float32)
     elif comp.sh == ShCompression.HALF:
-        sh_out = np.empty((n, 45), np.float16)
+        sh_out = np.empty((45, n), np.float16)
     elif comp.sh == ShCompression.NORM8:
-        sh_out = np.empty((n, 45), np.uint8)
+        sh_out = np.empty((45, n), np.uint8)
     else:
         sh_out = None
-    cov_out = np.empty((n, 6), np.float32 if cov_mode == 0 else np.float16)
+    cov_out = np.empty((6, n), np.float32 if cov_mode == 0 else np.float16)
 
     def ptr(a):
         return a.ctypes.data_as(ctypes.c_void_p) if a is not None else None
 
     lib.gs_pack(
         ptr(records), n, ptr(pos), ptr(color0),
-        sh_mode, ptr(sh_out), ptr(sh_minmax),
+        sh_mode, ptr(sh_out), ptr(sh_mn), ptr(sh_span),
         cov_mode, ptr(cov_out), n_threads,
     )
     out = {"pos": pos, "color0": color0, "cov3d": cov_out}
     if sh_out is not None:
         out["sh"] = sh_out
-    if sh_minmax is not None:
-        out["sh_minmax"] = sh_minmax
+    if sh_mn is not None:
+        out["sh_mn"] = sh_mn
+        out["sh_span"] = sh_span
     return out

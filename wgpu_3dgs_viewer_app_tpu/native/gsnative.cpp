@@ -57,38 +57,44 @@ inline uint8_t quant255(float v) {
   return (uint8_t)q;
 }
 
-void pack_range(const float* rec, int64_t lo, int64_t hi,
-                float* pos, uint8_t* color0,
+void pack_range(const float* rec, int64_t lo, int64_t hi, int64_t n,
+                float* pos, uint32_t* color0,
                 int sh_mode,  // 0=f32, 1=f16, 2=u8norm, 3=remove
-                void* sh_out, float* sh_minmax,
+                void* sh_out, float* sh_mn, float* sh_span,
                 int cov_mode,  // 0=f32, 1=f16
                 void* cov_out) {
+  // All per-splat outputs are splat-axis-LAST (transposed SoA): pos (3, N),
+  // sh (45, N), cov (6, N); color0 is one packed u32 rgba per splat.
   for (int64_t i = lo; i < hi; ++i) {
     const float* r = rec + i * 62;
-    // pos
-    pos[i * 3 + 0] = r[0];
-    pos[i * 3 + 1] = r[1];
-    pos[i * 3 + 2] = r[2];
-    // color0: rgb = clamp(0.5 + C0*f_dc), a = sigmoid(opacity)
+    // pos (3, N)
+    pos[0 * n + i] = r[0];
+    pos[1 * n + i] = r[1];
+    pos[2 * n + i] = r[2];
+    // color0: rgb = clamp(0.5 + C0*f_dc), a = sigmoid(opacity); packed u32.
+    uint32_t cw = 0;
     for (int c = 0; c < 3; ++c) {
       float v = 0.5f + kShC0 * r[6 + c];
       if (v < 0.0f) v = 0.0f;
       if (v > 1.0f) v = 1.0f;
-      color0[i * 4 + c] = quant255(v);
+      cw |= ((uint32_t)quant255(v)) << (8 * c);
     }
-    color0[i * 4 + 3] = quant255(sigmoidf_(r[54]));
+    cw |= ((uint32_t)quant255(sigmoidf_(r[54]))) << 24;
+    color0[i] = cw;
     // sh rest: PLY stores channel-major [R x15, G x15, B x15];
     // device layout is coeff-major [15][3].
     float sh[45];
     for (int k = 0; k < 15; ++k)
       for (int c = 0; c < 3; ++c) sh[k * 3 + c] = r[9 + c * 15 + k];
     switch (sh_mode) {
-      case 0:
-        std::memcpy((float*)sh_out + i * 45, sh, 45 * sizeof(float));
+      case 0: {
+        float* o = (float*)sh_out;
+        for (int k = 0; k < 45; ++k) o[(int64_t)k * n + i] = sh[k];
         break;
+      }
       case 1: {
-        uint16_t* o = (uint16_t*)sh_out + i * 45;
-        for (int k = 0; k < 45; ++k) o[k] = f32_to_f16(sh[k]);
+        uint16_t* o = (uint16_t*)sh_out;
+        for (int k = 0; k < 45; ++k) o[(int64_t)k * n + i] = f32_to_f16(sh[k]);
         break;
       }
       case 2: {
@@ -99,10 +105,10 @@ void pack_range(const float* rec, int64_t lo, int64_t hi,
         }
         float span = mx - mn;
         if (span < 1e-12f) span = 1e-12f;
-        uint8_t* o = (uint8_t*)sh_out + i * 45;
-        for (int k = 0; k < 45; ++k) o[k] = quant255((sh[k] - mn) / span);
-        sh_minmax[i * 2 + 0] = mn;
-        sh_minmax[i * 2 + 1] = mx;
+        uint8_t* o = (uint8_t*)sh_out;
+        for (int k = 0; k < 45; ++k) o[(int64_t)k * n + i] = quant255((sh[k] - mn) / span);
+        sh_mn[i] = mn;
+        sh_span[i] = span;
         break;
       }
       default:
@@ -135,10 +141,11 @@ void pack_range(const float* rec, int64_t lo, int64_t hi,
       }
     // idx order produced: (0,0)(0,1)(0,2)(1,1)(1,2)(2,2) == xx,xy,xz,yy,yz,zz
     if (cov_mode == 0) {
-      std::memcpy((float*)cov_out + i * 6, cov, 6 * sizeof(float));
+      float* o = (float*)cov_out;
+      for (int k = 0; k < 6; ++k) o[(int64_t)k * n + i] = cov[k];
     } else {
-      uint16_t* o = (uint16_t*)cov_out + i * 6;
-      for (int k = 0; k < 6; ++k) o[k] = f32_to_f16(cov[k]);
+      uint16_t* o = (uint16_t*)cov_out;
+      for (int k = 0; k < 6; ++k) o[(int64_t)k * n + i] = f32_to_f16(cov[k]);
     }
   }
 }
@@ -149,14 +156,15 @@ extern "C" {
 
 // Fused pack of n 62-f32 records. sh_out/cov_out dtypes depend on modes.
 void gs_pack(const float* records, int64_t n,
-             float* pos, uint8_t* color0,
-             int sh_mode, void* sh_out, float* sh_minmax,
+             float* pos, uint32_t* color0,
+             int sh_mode, void* sh_out, float* sh_mn, float* sh_span,
              int cov_mode, void* cov_out, int n_threads) {
   if (n <= 0) return;
   int hw = n_threads > 0 ? n_threads : (int)std::thread::hardware_concurrency();
   if (hw < 1) hw = 1;
   if (n < 4096 || hw == 1) {
-    pack_range(records, 0, n, pos, color0, sh_mode, sh_out, sh_minmax, cov_mode, cov_out);
+    pack_range(records, 0, n, n, pos, color0, sh_mode, sh_out, sh_mn, sh_span,
+               cov_mode, cov_out);
     return;
   }
   std::vector<std::thread> ts;
@@ -164,8 +172,8 @@ void gs_pack(const float* records, int64_t n,
   for (int t = 0; t < hw; ++t) {
     int64_t lo = t * chunk, hi = std::min<int64_t>(n, lo + chunk);
     if (lo >= hi) break;
-    ts.emplace_back(pack_range, records, lo, hi, pos, color0, sh_mode, sh_out,
-                    sh_minmax, cov_mode, cov_out);
+    ts.emplace_back(pack_range, records, lo, hi, n, pos, color0, sh_mode, sh_out,
+                    sh_mn, sh_span, cov_mode, cov_out);
   }
   for (auto& th : ts) th.join();
 }
@@ -173,5 +181,5 @@ void gs_pack(const float* records, int64_t n,
 // Convert arbitrary same-dtype property tables is handled in numpy; the
 // binary little-endian all-float fast path needs no native decode (memcpy).
 
-int gs_version() { return 1; }
+int gs_version() { return 2; }
 }

@@ -254,7 +254,8 @@ N_PACKED_PLANES = 4
 class SortedEntries:
     """Sorted packed entries + per-tile ranges (v2 layout).
 
-    planes (4, R, 128) u32 — per entry:
+    planes (R, 4, 128) u32 — per entry (row-interleaved so one compositor
+    chunk is a single contiguous (1, 4, 128) DMA):
       plane 0: mean_rel_x f16 | mean_rel_y f16   (relative to the entry's tile
                                                   origin; f16 error << sigma)
       plane 1: conic_a f16 | conic_b f16
@@ -265,7 +266,7 @@ class SortedEntries:
     entries outside the run inside its first/last rows.
     """
 
-    planes: jnp.ndarray       # (4, R, 128) u32
+    planes: jnp.ndarray       # (R, 4, 128) u32
     tile_starts: jnp.ndarray  # (n_tiles,) i32
     tile_counts: jnp.ndarray  # (n_tiles,) i32
     n_valid: jnp.ndarray      # () i32
@@ -323,16 +324,23 @@ def unpack2xf16(w: jnp.ndarray) -> tuple:
 
 
 def unpack_rgb8(w: jnp.ndarray) -> tuple:
+    # Cast via i32: Mosaic has no u32 -> f32 convert (values are <= 255).
     s = jnp.float32(1.0 / 255.0)
-    r = (w & jnp.uint32(0xFF)).astype(jnp.float32) * s
-    g = ((w >> jnp.uint32(8)) & jnp.uint32(0xFF)).astype(jnp.float32) * s
-    b = ((w >> jnp.uint32(16)) & jnp.uint32(0xFF)).astype(jnp.float32) * s
+    r = (w & jnp.uint32(0xFF)).astype(jnp.int32).astype(jnp.float32) * s
+    g = ((w >> jnp.uint32(8)) & jnp.uint32(0xFF)).astype(jnp.int32).astype(jnp.float32) * s
+    b = ((w >> jnp.uint32(16)) & jnp.uint32(0xFF)).astype(jnp.int32).astype(jnp.float32) * s
     return r, g, b
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def build_sorted_entries(pre: PreprocessOut, cfg: TileConfig) -> SortedEntries:
-    """Duplicate -> pack -> sort-with-payloads -> per-tile ranges."""
+    """Duplicate -> pack -> sort-with-payloads -> per-tile ranges.
+
+    Duplicates are enumerated in (D, N) orientation: the minor dim stays the
+    large N so every intermediate keeps a compact layout ((N, D) orientation
+    measured 3x slower — padded minor-dim materializations). The flat entry
+    order is duplicate-major, which the sort erases anyway.
+    """
     n = pre.mean2d.shape[0]
     tile = float(cfg.tile)
     ntx, nty = cfg.tiles_x, cfg.tiles_y
@@ -347,43 +355,40 @@ def build_sorted_entries(pre: PreprocessOut, cfg: TileConfig) -> SortedEntries:
     n_touched = rw * (ty1 - ty0 + 1)
     dkey = depth_key_bits(pre.depth, cfg.depth_bits)
 
-    j = jnp.arange(dmax, dtype=jnp.int32)[None, :]  # (1, D)
-    etx = tx0[:, None] + j % rw[:, None]
-    ety = ty0[:, None] + j // rw[:, None]
-    tile_id = ety * ntx + etx  # (N, D)
-    live = pre.valid[:, None] & (j < n_touched[:, None])
+    j = jnp.arange(dmax, dtype=jnp.int32)[:, None]  # (D, 1)
+    etx = tx0[None, :] + j % rw[None, :]
+    ety = ty0[None, :] + j // rw[None, :]
+    tile_id = ety * ntx + etx  # (D, N)
+    live = pre.valid[None, :] & (j < n_touched[None, :])
     # Tight tile culling: drop rect cells whose nearest point to the splat
     # center is outside the 3-sigma radius (rect corners often miss the
     # ellipse; typically trims ~20-40% of entries before the sort).
     ox = etx.astype(jnp.float32) * tile
     oy = ety.astype(jnp.float32) * tile
-    cx = jnp.clip(x[:, None], ox, ox + tile)
-    cy = jnp.clip(y[:, None], oy, oy + tile)
-    dist2 = (x[:, None] - cx) ** 2 + (y[:, None] - cy) ** 2
-    live = live & (dist2 <= (r * r)[:, None])
+    cx = jnp.clip(x[None, :], ox, ox + tile)
+    cy = jnp.clip(y[None, :], oy, oy + tile)
+    dist2 = (x[None, :] - cx) ** 2 + (y[None, :] - cy) ** 2
+    live = live & (dist2 <= (r * r)[None, :])
 
     sentinel = jnp.uint32(0xFFFFFFFF)
     keys = jnp.where(
         live,
-        (tile_id.astype(jnp.uint32) << jnp.uint32(cfg.depth_bits)) | dkey[:, None],
+        (tile_id.astype(jnp.uint32) << jnp.uint32(cfg.depth_bits)) | dkey[None, :],
         sentinel,
     ).reshape(-1)
 
     # Pack per-entry payloads (mean relative to the entry's own tile origin).
-    mrx = x[:, None] - etx.astype(jnp.float32) * tile
-    mry = y[:, None] - ety.astype(jnp.float32) * tile
-    p0 = _pack2xf16(mrx, mry).reshape(-1)
-    p1 = _pack2xf16(
-        jnp.broadcast_to(pre.conic[:, 0:1], (n, dmax)),
-        jnp.broadcast_to(pre.conic[:, 1:2], (n, dmax)),
+    p0 = _pack2xf16(
+        x[None, :] - etx.astype(jnp.float32) * tile,
+        y[None, :] - ety.astype(jnp.float32) * tile,
     ).reshape(-1)
-    alpha = jnp.where(live, pre.alpha[:, None], 0.0)
-    p2 = _pack2xf16(jnp.broadcast_to(pre.conic[:, 2:3], (n, dmax)), alpha).reshape(-1)
-    rgb8 = (
-        jnp.clip(pre.rgb * 255.0 + 0.5, 0, 255).astype(jnp.uint32)
-    )
+    ab = _pack2xf16(pre.conic[:, 0], pre.conic[:, 1])  # per-splat, (N,)
+    p1 = jnp.broadcast_to(ab[None, :], (dmax, n)).reshape(-1)
+    ca = _pack2xf16(pre.conic[:, 2], pre.alpha)
+    p2 = jnp.where(live, ca[None, :], jnp.uint32(0)).reshape(-1)  # dead: alpha 0
+    rgb8 = jnp.clip(pre.rgb * 255.0 + 0.5, 0, 255).astype(jnp.uint32)
     p3w = rgb8[:, 0] | (rgb8[:, 1] << jnp.uint32(8)) | (rgb8[:, 2] << jnp.uint32(16))
-    p3 = jnp.broadcast_to(p3w[:, None], (n, dmax)).reshape(-1)
+    p3 = jnp.broadcast_to(p3w[None, :], (dmax, n)).reshape(-1)
 
     sk, s0, s1, s2, s3 = jax.lax.sort(
         (keys, p0, p1, p2, p3), num_keys=1, is_stable=False
@@ -398,13 +403,15 @@ def build_sorted_entries(pre: PreprocessOut, cfg: TileConfig) -> SortedEntries:
 
     e = keys.shape[0]
     pad = (-e) % ROW
-    planes = jnp.stack([s0, s1, s2, s3], axis=0)
-    if pad:
-        # Padding entries decode to alpha = 0 (all-zero words).
-        planes = jnp.concatenate(
-            [planes, jnp.zeros((N_PACKED_PLANES, pad), jnp.uint32)], axis=1
-        )
-    planes = planes.reshape(N_PACKED_PLANES, (e + pad) // ROW, ROW)
+
+    def rows(pl):
+        if pad:
+            # Padding entries decode to alpha = 0 (all-zero words).
+            pl = jnp.concatenate([pl, jnp.zeros(pad, jnp.uint32)])
+        return pl.reshape(-1, ROW)
+
+    # (R, 4, 128): one compositor chunk = one contiguous (1, 4, 128) DMA.
+    planes = jnp.stack([rows(s0), rows(s1), rows(s2), rows(s3)], axis=1)
     n_valid = jnp.sum(live.astype(jnp.int32))
     return SortedEntries(
         planes=planes, tile_starts=tile_starts, tile_counts=tile_counts, n_valid=n_valid

@@ -345,12 +345,12 @@ def composite_tiles_jnp_v2(
         def body(state):
             c, t, rgb = state
             chunk = jax.lax.dynamic_slice(
-                planes, (0, row0 + c, 0), (N_PACKED_PLANES, 1, ROW)
-            )
+                planes, (row0 + c, 0, 0), (1, N_PACKED_PLANES, ROW)
+            )[0]
             gidx = (row0 + c) * ROW + col  # global entry index (1, C)
             live = (gidx >= start) & (gidx < start + count)
             a, r, g, b = _chunk_alpha_packed(
-                chunk[0], chunk[1], chunk[2], chunk[3], px_local, py_local, live, flat_mode
+                chunk[0:1], chunk[1:2], chunk[2:3], chunk[3:4], px_local, py_local, live, flat_mode
             )
             incl, excl = _excl_cumprod_lanes(1.0 - a, use_roll=False)
             w = t * excl * a
@@ -402,7 +402,7 @@ def _composite_kernel_v2(
 
         def get_dma(slot, c):
             return pltpu.make_async_copy(
-                planes_hbm.at[:, pl.ds(row0 + c, 1), :],
+                planes_hbm.at[pl.ds(row0 + c, 1), :, :],
                 buf.at[slot],
                 sems.at[slot],
             )
@@ -425,11 +425,11 @@ def _composite_kernel_v2(
                 get_dma(nxt, c + 1).start()
 
             get_dma(slot, c).wait()
-            chunk = buf[slot]  # (4, 1, ROW) u32
+            chunk = buf[slot][0]  # (4, ROW) u32
             gidx = (row0 + c) * ROW + col
             live = (gidx >= start) & (gidx < start + count)
             a, r, g, b = _chunk_alpha_packed(
-                chunk[0], chunk[1], chunk[2], chunk[3], px, py, live, flat_mode
+                chunk[0:1], chunk[1:2], chunk[2:3], chunk[3:4], px, py, live, flat_mode
             )
             incl, excl = _excl_cumprod_lanes(1.0 - a, use_roll=True)
             tcur = t_buf[:, 0:1]
@@ -452,7 +452,7 @@ def _composite_kernel_v2(
 
     pl.run_scoped(
         scoped,
-        buf=pltpu.VMEM((2, N_PACKED_PLANES, 1, ROW), jnp.uint32),
+        buf=pltpu.VMEM((2, 1, N_PACKED_PLANES, ROW), jnp.uint32),
         t_buf=pltpu.VMEM((p, 1), jnp.float32),
         rgb_buf=pltpu.VMEM((p, 4), jnp.float32),
         sems=pltpu.SemaphoreType.DMA((2,)),

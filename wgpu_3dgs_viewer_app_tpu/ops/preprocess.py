@@ -32,9 +32,9 @@ from ..core.edit import apply_edit
 from ..core.sh import eval_sh_rest_channels
 from ..data.compression import (
     Compressions,
+    cov3d_components,
     make_sh_coeff_fn,
     unpack_color0,
-    unpack_cov3d,
 )
 
 ALPHA_EPS = 1.0 / 255.0
@@ -108,10 +108,10 @@ def preprocess(
     mask_bits/selection_bits: (N,) uint8/bool gates
         (ref mask_buffer / selection_buffer, `src/tab/scene.rs:1848-1851`).
     """
-    pos = pod["pos"]
-    n = pos.shape[0]
+    pos = pod["pos"]  # (3, N)
+    n = pos.shape[1]
     color0_rgb, color0_a = unpack_color0(pod)
-    cov6 = unpack_cov3d(pod)
+    cov6c = cov3d_components(pod)  # six (N,) uniques
 
     # All fixed-size matrix algebra is component-expanded: batched tiny
     # matmuls blow up HBM with tile padding on TPU and round through bf16 on
@@ -119,12 +119,12 @@ def preprocess(
 
     # --- model transform ---
     m3 = model[:3, :3]
-    p_world = _apply_affine(pos, m3, model[:3, 3])
+    p_world = _apply_affine_t(pos, m3, model[:3, 3])  # (N, 3)
     # Covariance transforms with the linear part: Sigma' = M3 Sigma M3^T.
     # The gaussian `size` multiplier scales the splat extent (sigma *= size),
     # i.e. Sigma *= size^2, applied before the screen-space dilation.
     s2 = jnp.float32(size) * jnp.float32(size)
-    cov6_w = transform_cov6(cov6, m3) * s2
+    cov6_w = transform_cov6(jnp.stack(cov6c, axis=-1), m3) * s2
 
     # --- view transform + depth ---
     v3 = view[:3, :3]
@@ -219,6 +219,19 @@ def preprocess(
         depth=depth,
         radius=radius,
         valid=valid,
+    )
+
+
+def _apply_affine_t(pts: jnp.ndarray, m3: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
+    """(3, N) splat-axis-last points through an affine -> (N, 3)."""
+    x, y, z = pts[0, :], pts[1, :], pts[2, :]
+    return jnp.stack(
+        [
+            m3[0, 0] * x + m3[0, 1] * y + m3[0, 2] * z + t[0],
+            m3[1, 0] * x + m3[1, 1] * y + m3[1, 2] * z + t[1],
+            m3[2, 0] * x + m3[2, 1] * y + m3[2, 2] * z + t[2],
+        ],
+        axis=-1,
     )
 
 

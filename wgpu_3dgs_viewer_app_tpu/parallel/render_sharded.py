@@ -72,16 +72,24 @@ def _clip_to_slab(pre: PreprocessOut, y0, slab_h: int) -> PreprocessOut:
     )
 
 
+def _pod_spec(v, axis):
+    """Pod arrays carry the splat axis LAST for ndim>=2 (layout hygiene)."""
+    if v.ndim == 1:
+        return P(axis)
+    return P(*([None] * (v.ndim - 1)), axis)
+
+
 def shard_pod(pod: dict, mesh: Mesh, axis: str = "splats") -> dict:
     """Place pod arrays sharded over the splat axis (pad N to device multiple)."""
     n_dev = mesh.shape[axis]
     out = {}
     for k, v in pod.items():
-        n = v.shape[0]
+        n = v.shape[-1]
         pad = (-n) % n_dev
         if pad:
-            v = jnp.concatenate([v, jnp.zeros((pad,) + v.shape[1:], v.dtype)])
-        out[k] = jax.device_put(v, NamedSharding(mesh, P(axis, *([None] * (v.ndim - 1)))))
+            pad_shape = v.shape[:-1] + (pad,)
+            v = jnp.concatenate([v, jnp.zeros(pad_shape, v.dtype)], axis=-1)
+        out[k] = jax.device_put(v, NamedSharding(mesh, _pod_spec(v, axis)))
     return out
 
 
@@ -111,7 +119,7 @@ def render_frame_sharded(
         jax.shard_map,
         mesh=mesh,
         in_specs=(
-            {k: P(axis, *([None] * (v.ndim - 1))) for k, v in pod.items()},
+            {k: _pod_spec(v, axis) for k, v in pod.items()},
             P(),
             P(),
             P(),

@@ -33,7 +33,11 @@ from ..data.gaussian import Gaussians
 
 @functools.partial(jax.jit, donate_argnums=(0,))
 def _update_slice(dst, src, start):
-    return jax.lax.dynamic_update_slice(dst, src, (start,) + (0,) * (dst.ndim - 1))
+    """In-place range update along the splat axis (last axis for 2D pod
+    arrays, axis 0 for 1D)."""
+    if dst.ndim == 1:
+        return jax.lax.dynamic_update_slice(dst, src, (start,))
+    return jax.lax.dynamic_update_slice(dst, src, (0,) * (dst.ndim - 1) + (start,))
 
 
 class GaussianBuffers:
