@@ -27,7 +27,7 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def build(n, w, h, sh_degree, display_mode, tile=16, max_dup=4, seed=0):
+def build(n, w, h, sh_degree, display_mode, tile=32, max_dup=4, seed=0):
     from wgpu_3dgs_viewer_app_tpu.core import CameraOrbitControl
     from wgpu_3dgs_viewer_app_tpu.data import Compressions, make_random_scene, pack_gaussians
     from wgpu_3dgs_viewer_app_tpu.ops import TileConfig

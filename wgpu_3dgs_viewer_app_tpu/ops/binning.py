@@ -36,7 +36,12 @@ class TileConfig:
     width: int
     height: int
     tile: int = 16  # tile side in pixels
-    max_dup: int = 8  # max duplicated tile entries per splat (D)
+    # Max duplicated tile entries per splat (D). Splats whose culled tile
+    # rect exceeds D get their trailing cells dropped (visible as tile-grid
+    # seams), so choose D >= (ceil(2*r_max/tile)+1)^2 for the expected max
+    # splat radius: D=16 is safe for r <= 1.5 tiles; D=4 is exact only for
+    # r <= tile/2. Sort cost scales with N*D (PERF_NOTES.md).
+    max_dup: int = 8
 
     @property
     def tiles_x(self) -> int:
@@ -355,9 +360,20 @@ def build_sorted_entries(pre: PreprocessOut, cfg: TileConfig) -> SortedEntries:
     n_touched = rw * (ty1 - ty0 + 1)
     dkey = depth_key_bits(pre.depth, cfg.depth_bits)
 
+    # Enumerate rect cells CENTER-OUT (alternating around the mean's cell in
+    # both axes) so that when a splat's rect exceeds max_dup, the dropped
+    # cells are the far corners (graceful dimming) instead of whole trailing
+    # rows (hard tile-grid seams).
+    rh = ty1 - ty0 + 1
     j = jnp.arange(dmax, dtype=jnp.int32)[:, None]  # (D, 1)
-    etx = tx0[None, :] + j % rw[None, :]
-    ety = ty0[None, :] + j // rw[None, :]
+    m = j % rw[None, :]   # within-row step
+    k = j // rw[None, :]  # row step
+    cx_cell = (rw[None, :] - 1) // 2
+    cy_cell = (rh[None, :] - 1) // 2
+    off_x = ((m + 1) >> 1) * jnp.where((m & 1) == 1, 1, -1)
+    off_y = ((k + 1) >> 1) * jnp.where((k & 1) == 1, 1, -1)
+    etx = tx0[None, :] + cx_cell + off_x
+    ety = ty0[None, :] + cy_cell + off_y
     tile_id = ety * ntx + etx  # (D, N)
     live = pre.valid[None, :] & (j < n_touched[None, :])
     # Tight tile culling: drop rect cells whose nearest point to the splat

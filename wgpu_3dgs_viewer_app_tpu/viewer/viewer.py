@@ -132,7 +132,7 @@ class MultiModelViewer:
         height: int,
         comp: Compressions = Compressions(),
         tile: int = 16,
-        max_dup: int = 8,
+        max_dup: int = 16,
         background=(0.0, 0.0, 0.0),
         use_pallas: Optional[bool] = None,
     ):
