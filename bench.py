@@ -65,13 +65,19 @@ def frame_fn(comp, cfg, sh_degree, display_mode, use_pallas):
 
 
 def time_frames(step, args, iters=10, warmup=2):
+    """Median per-frame time; each iteration forces real completion with a
+    tiny device reduce + host transfer (`block_until_ready` can return early
+    on this platform — see PERF_NOTES.md)."""
     for _ in range(warmup):
-        step(*args).block_until_ready()
-    t0 = time.perf_counter()
+        float(step(*args).ravel()[0:1].sum())
+    ts = []
     for _ in range(iters):
+        t0 = time.perf_counter()
         out = step(*args)
-    out.block_until_ready()
-    return (time.perf_counter() - t0) / iters
+        float(out.ravel()[0:1].sum())
+        ts.append(time.perf_counter() - t0)
+    ts.sort()
+    return ts[len(ts) // 2]
 
 
 def main():
