@@ -65,19 +65,22 @@ def frame_fn(comp, cfg, sh_degree, display_mode, use_pallas):
 
 
 def time_frames(step, args, iters=10, warmup=2):
-    """Median per-frame time; each iteration forces real completion with a
-    tiny device reduce + host transfer (`block_until_ready` can return early
-    on this platform — see PERF_NOTES.md)."""
+    """Pipelined frames-per-second: enqueue `iters` frames back-to-back and
+    force completion once at the end (the device executes its stream in
+    order, so the last frame's checksum gates all of them). This is how an
+    interactive renderer runs — frames in flight, no per-frame host sync —
+    and it keeps the axon tunnel's ~35 ms scalar-readback latency out of the
+    per-frame cost. Completion is forced with a tiny device reduce + host
+    transfer (`block_until_ready` can return early on this platform — see
+    PERF_NOTES.md)."""
     for _ in range(warmup):
         float(step(*args).ravel()[0:1].sum())
-    ts = []
+    t0 = time.perf_counter()
+    out = None
     for _ in range(iters):
-        t0 = time.perf_counter()
         out = step(*args)
-        float(out.ravel()[0:1].sum())
-        ts.append(time.perf_counter() - t0)
-    ts.sort()
-    return ts[len(ts) // 2]
+    float(out.ravel()[0:1].sum())
+    return (time.perf_counter() - t0) / iters
 
 
 def main():

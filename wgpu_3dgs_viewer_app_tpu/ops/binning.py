@@ -64,6 +64,17 @@ class TileConfig:
     def depth_bits(self) -> int:
         return 32 - self.tile_bits
 
+    # v2 key layout: tile | depth | alpha8. Stashing the per-entry opacity in
+    # the key's low byte removes one u32 sort payload (~24 ms at E=24M on
+    # v5e), and the sorted keys flow to the compositor anyway. Sorting by
+    # alpha within equal (tile, depth) buckets is harmless: those entries are
+    # depth ties whose blend order is unspecified after quantization.
+    ALPHA_BITS = 8
+
+    @property
+    def v2_depth_bits(self) -> int:
+        return 32 - self.tile_bits - self.ALPHA_BITS
+
 
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
@@ -244,14 +255,27 @@ def build_entry_planes(pre: PreprocessOut, lists: TileLists, cfg: TileConfig) ->
 #
 # Measured on v5e at E = 24M: one XLA gather is ~7.6 ns/element (183 ms for a
 # single 24M gather), so the v1 gather-based plane build costs ~1-2 s at 6M
-# splats. Carrying data *through* `lax.sort` costs ~32 ms per u32 payload at
-# 24M. v2 therefore packs the 9 per-entry fields into 4 u32 payloads
-# (f16 tile-relative mean, f16 conic, f16 alpha, u8 rgb), sorts once, and
-# hands the sorted payload planes straight to the compositor, which masks the
-# unaligned head/tail of each tile's run instead of re-aligning storage.
+# splats. Carrying data *through* `lax.sort` costs ~24 ms per u32 payload at
+# 24M. v2 therefore packs the per-entry fields into the key low byte (alpha)
+# plus THREE u32 payloads, sorts once, and hands the sorted planes (key
+# included — it rides the sort for free) straight to the compositor, which
+# masks the unaligned head/tail of each tile's run instead of re-aligning
+# storage.
+#
+# Plane layout (planes[:, i, :]):
+#   0: sort key        = tile | depth_q | alpha_u8  (depth_q: log-depth
+#      normalized to the frame's occupied [dmin, dmax] — uniform resolution
+#      over the scene instead of raw f32-exponent slicing)
+#   1: mean_rel_x u12 . mean_rel_y u12 . b u8  (fixed-point 1/16 px, biased
+#      +128: tile-relative means stay within ±128 px under center-out
+#      max_dup truncation)
+#   2: conic_a f16 | conic_b f16
+#   3: conic_c f16 | r u8 . g u8
 # ---------------------------------------------------------------------------
 
 N_PACKED_PLANES = 4
+MEAN_FIX_SCALE = 16.0   # 1/16-px fixed point for tile-relative means
+MEAN_FIX_BIAS = 128.0
 
 
 @jax.tree_util.register_pytree_node_class
@@ -260,15 +284,11 @@ class SortedEntries:
     """Sorted packed entries + per-tile ranges (v2 layout).
 
     planes (R, 4, 128) u32 — per entry (row-interleaved so one compositor
-    chunk is a single contiguous (1, 4, 128) DMA):
-      plane 0: mean_rel_x f16 | mean_rel_y f16   (relative to the entry's tile
-                                                  origin; f16 error << sigma)
-      plane 1: conic_a f16 | conic_b f16
-      plane 2: conic_c f16 | alpha f16
-      plane 3: r u8 | g u8 | b u8 | 0
-    Runs are NOT row-aligned: tile t occupies entries [starts[t],
-    starts[t]+counts[t]) of the flat sorted order; the compositor masks
-    entries outside the run inside its first/last rows.
+    chunk is a single contiguous (1, 4, 128) DMA); plane 0 is the sort key
+    itself (tile | depth_q | alpha_u8), planes 1-3 the payloads — see the
+    layout comment above. Runs are NOT row-aligned: tile t occupies entries
+    [starts[t], starts[t]+counts[t]) of the flat sorted order; the compositor
+    masks entries outside the run inside its first/last rows.
     """
 
     planes: jnp.ndarray       # (R, 4, 128) u32
@@ -328,15 +348,6 @@ def unpack2xf16(w: jnp.ndarray) -> tuple:
     return lo, hi
 
 
-def unpack_rgb8(w: jnp.ndarray) -> tuple:
-    # Cast via i32: Mosaic has no u32 -> f32 convert (values are <= 255).
-    s = jnp.float32(1.0 / 255.0)
-    r = (w & jnp.uint32(0xFF)).astype(jnp.int32).astype(jnp.float32) * s
-    g = ((w >> jnp.uint32(8)) & jnp.uint32(0xFF)).astype(jnp.int32).astype(jnp.float32) * s
-    b = ((w >> jnp.uint32(16)) & jnp.uint32(0xFF)).astype(jnp.int32).astype(jnp.float32) * s
-    return r, g, b
-
-
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def build_sorted_entries(pre: PreprocessOut, cfg: TileConfig) -> SortedEntries:
     """Duplicate -> pack -> sort-with-payloads -> per-tile ranges.
@@ -358,7 +369,20 @@ def build_sorted_entries(pre: PreprocessOut, cfg: TileConfig) -> SortedEntries:
     ty1 = jnp.clip(jnp.floor((y + r) / tile), 0, nty - 1).astype(jnp.int32)
     rw = tx1 - tx0 + 1
     n_touched = rw * (ty1 - ty0 + 1)
-    dkey = depth_key_bits(pre.depth, cfg.depth_bits)
+
+    # Log-depth quantized to the frame's occupied range: uniform ordering
+    # resolution over [dmin, dmax] (raw f32-bit slicing wastes key bits on
+    # the unoccupied exponent range).
+    db = cfg.v2_depth_bits
+    ld = jnp.log(jnp.maximum(pre.depth, 1e-6))
+    big = jnp.float32(3.4e38)
+    ld_min = jnp.min(jnp.where(pre.valid, ld, big))
+    ld_max = jnp.max(jnp.where(pre.valid, ld, -big))
+    ld_min = jnp.minimum(ld_min, ld_max)  # no-valid-splat guard
+    span = jnp.maximum(ld_max - ld_min, 1e-12)
+    dkey = jnp.clip(
+        (ld - ld_min) / span * float(2**db - 1), 0.0, float(2**db - 1)
+    ).astype(jnp.uint32)
 
     # Enumerate rect cells CENTER-OUT (alternating around the mean's cell in
     # both axes) so that when a splat's rect exceeds max_dup, the dropped
@@ -386,32 +410,46 @@ def build_sorted_entries(pre: PreprocessOut, cfg: TileConfig) -> SortedEntries:
     dist2 = (x[None, :] - cx) ** 2 + (y[None, :] - cy) ** 2
     live = live & (dist2 <= (r * r)[None, :])
 
+    alpha_u8 = jnp.clip(pre.alpha * 255.0 + 0.5, 0.0, 255.0).astype(jnp.uint32)
     sentinel = jnp.uint32(0xFFFFFFFF)
     keys = jnp.where(
         live,
-        (tile_id.astype(jnp.uint32) << jnp.uint32(cfg.depth_bits)) | dkey[None, :],
+        (tile_id.astype(jnp.uint32) << jnp.uint32(db + cfg.ALPHA_BITS))
+        | (dkey[None, :] << jnp.uint32(cfg.ALPHA_BITS))
+        | alpha_u8[None, :],
         sentinel,
     ).reshape(-1)
 
-    # Pack per-entry payloads (mean relative to the entry's own tile origin).
-    p0 = _pack2xf16(
-        x[None, :] - etx.astype(jnp.float32) * tile,
-        y[None, :] - ety.astype(jnp.float32) * tile,
-    ).reshape(-1)
-    ab = _pack2xf16(pre.conic[:, 0], pre.conic[:, 1])  # per-splat, (N,)
-    p1 = jnp.broadcast_to(ab[None, :], (dmax, n)).reshape(-1)
-    ca = _pack2xf16(pre.conic[:, 2], pre.alpha)
-    p2 = jnp.where(live, ca[None, :], jnp.uint32(0)).reshape(-1)  # dead: alpha 0
+    # Pack per-entry payloads (mean relative to the entry's own tile origin,
+    # 1/16-px fixed point — uniform precision, unlike f16 whose ulp grows
+    # with distance from the tile origin).
     rgb8 = jnp.clip(pre.rgb * 255.0 + 0.5, 0, 255).astype(jnp.uint32)
-    p3w = rgb8[:, 0] | (rgb8[:, 1] << jnp.uint32(8)) | (rgb8[:, 2] << jnp.uint32(16))
-    p3 = jnp.broadcast_to(p3w[None, :], (dmax, n)).reshape(-1)
-
-    sk, s0, s1, s2, s3 = jax.lax.sort(
-        (keys, p0, p1, p2, p3), num_keys=1, is_stable=False
+    mxq = jnp.clip(
+        (x[None, :] - etx.astype(jnp.float32) * tile + MEAN_FIX_BIAS) * MEAN_FIX_SCALE
+        + 0.5,
+        0.0,
+        4095.0,
+    ).astype(jnp.uint32)
+    myq = jnp.clip(
+        (y[None, :] - ety.astype(jnp.float32) * tile + MEAN_FIX_BIAS) * MEAN_FIX_SCALE
+        + 0.5,
+        0.0,
+        4095.0,
+    ).astype(jnp.uint32)
+    p1 = (mxq | (myq << jnp.uint32(12)) | (rgb8[:, 2][None, :] << jnp.uint32(24))).reshape(-1)
+    ab = _pack2xf16(pre.conic[:, 0], pre.conic[:, 1])  # per-splat, (N,)
+    p2 = jnp.broadcast_to(ab[None, :], (dmax, n)).reshape(-1)
+    crg = (
+        _f32_to_f16_bits(pre.conic[:, 2])
+        | (rgb8[:, 0] << jnp.uint32(16))
+        | (rgb8[:, 1] << jnp.uint32(24))
     )
+    p3 = jnp.broadcast_to(crg[None, :], (dmax, n)).reshape(-1)
+
+    sk, s1, s2, s3 = jax.lax.sort((keys, p1, p2, p3), num_keys=1, is_stable=False)
 
     boundaries = (
-        jnp.arange(cfg.n_tiles + 1, dtype=jnp.uint32) << jnp.uint32(cfg.depth_bits)
+        jnp.arange(cfg.n_tiles + 1, dtype=jnp.uint32) << jnp.uint32(db + cfg.ALPHA_BITS)
     )
     edges = jnp.searchsorted(sk, boundaries, side="left").astype(jnp.int32)
     tile_starts = edges[:-1]
@@ -422,12 +460,13 @@ def build_sorted_entries(pre: PreprocessOut, cfg: TileConfig) -> SortedEntries:
 
     def rows(pl):
         if pad:
-            # Padding entries decode to alpha = 0 (all-zero words).
+            # Padding entries sit past every tile range; content irrelevant.
             pl = jnp.concatenate([pl, jnp.zeros(pad, jnp.uint32)])
         return pl.reshape(-1, ROW)
 
-    # (R, 4, 128): one compositor chunk = one contiguous (1, 4, 128) DMA.
-    planes = jnp.stack([rows(s0), rows(s1), rows(s2), rows(s3)], axis=1)
+    # (R, 4, 128): one compositor chunk = one contiguous (1, 4, 128) DMA;
+    # plane 0 is the sorted key (alpha in its low byte).
+    planes = jnp.stack([rows(sk), rows(s1), rows(s2), rows(s3)], axis=1)
     n_valid = jnp.sum(live.astype(jnp.int32))
     return SortedEntries(
         planes=planes, tile_starts=tile_starts, tile_counts=tile_counts, n_valid=n_valid

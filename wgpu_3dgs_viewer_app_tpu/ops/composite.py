@@ -250,7 +250,7 @@ def composite_tiles_pallas(
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(cfg.n_tiles,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((1, 4, p), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
     )
     kernel = functools.partial(_composite_kernel, cfg=cfg, flat_mode=flat_mode)
@@ -293,15 +293,41 @@ def over_background(img: jnp.ndarray, background: jnp.ndarray) -> jnp.ndarray:
 # — packed u32 planes, unaligned runs masked in-kernel, means tile-relative.
 # ---------------------------------------------------------------------------
 
-from .binning import N_PACKED_PLANES, SortedEntries, unpack2xf16, unpack_rgb8  # noqa: E402
+from .binning import (  # noqa: E402
+    MEAN_FIX_BIAS,
+    MEAN_FIX_SCALE,
+    N_PACKED_PLANES,
+    SortedEntries,
+    _f16_bits_to_f32,
+    unpack2xf16,
+)
 
 
-def _chunk_alpha_packed(p0, p1, p2, p3, px, py, live, flat_mode: bool):
-    """Packed (1, C) u32 rows + local pixel columns (P, 1) -> (P, C) alpha."""
-    mx, my = unpack2xf16(p0)
-    ca, cb = unpack2xf16(p1)
-    cc, op = unpack2xf16(p2)
-    r, g, b = unpack_rgb8(p3)
+def _u8_unit(w, shift):
+    """Bits [shift, shift+8) of u32 -> f32 in [0, 1] (via i32: Mosaic has no
+    u32 -> f32 convert)."""
+    return ((w >> jnp.uint32(shift)) & jnp.uint32(0xFF)).astype(jnp.int32).astype(
+        jnp.float32
+    ) * jnp.float32(1.0 / 255.0)
+
+
+def _chunk_alpha_packed(key, p1, p2, p3, px, py, live, flat_mode: bool):
+    """Packed (1, C) u32 rows + local pixel columns (P, 1) -> (P, C) alpha.
+
+    Plane layout per ops/binning.py: key carries alpha in its low byte;
+    p1 = mean u12.u12 + b u8; p2 = conic_ab f16s; p3 = conic_c f16 + r.g u8.
+    """
+    op = _u8_unit(key, 0)
+    inv = jnp.float32(1.0 / MEAN_FIX_SCALE)
+    mx = (p1 & jnp.uint32(0xFFF)).astype(jnp.int32).astype(jnp.float32) * inv - MEAN_FIX_BIAS
+    my = ((p1 >> jnp.uint32(12)) & jnp.uint32(0xFFF)).astype(jnp.int32).astype(
+        jnp.float32
+    ) * inv - MEAN_FIX_BIAS
+    b = _u8_unit(p1, 24)
+    ca, cb = unpack2xf16(p2)
+    cc = _f16_bits_to_f32(p3 & jnp.uint32(0xFFFF))
+    r = _u8_unit(p3, 16)
+    g = _u8_unit(p3, 24)
     dx = px - mx
     dy = py - my
     power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
@@ -473,7 +499,7 @@ def composite_tiles_pallas_v2(
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(cfg.n_tiles,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((1, 4, p), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
     )
     kernel = functools.partial(_composite_kernel_v2, cfg=cfg, flat_mode=flat_mode)

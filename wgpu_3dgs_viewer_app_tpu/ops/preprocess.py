@@ -152,11 +152,18 @@ def preprocess(
         # POINT: fixed pixel radius flat disc. Conic is set so that the
         # compositor's flat-threshold test (power >= -2) equals dist <= r:
         # power = -0.5 * (A dx^2 + C dy^2) with A = C = 4 / r^2.
-        r_pt = float(max(2.0 * size, 1.0))
-        radius = jnp.full_like(radius, r_pt)
+        # `size` may be a traced array (the viewer feeds it as a device
+        # scalar so size changes don't recompile) — keep this in jnp.
+        r_pt = jnp.maximum(2.0 * jnp.asarray(size, jnp.float32), 1.0)
+        radius = jnp.broadcast_to(r_pt, radius.shape)
         inv = 4.0 / (r_pt * r_pt)
-        conic = jnp.broadcast_to(
-            jnp.array([inv, 0.0, inv], jnp.float32), conic.shape
+        conic = jnp.stack(
+            [
+                jnp.broadcast_to(inv, radius.shape),
+                jnp.zeros_like(radius),
+                jnp.broadcast_to(inv, radius.shape),
+            ],
+            axis=-1,
         )
 
     # --- SH -> RGB ---
@@ -199,6 +206,19 @@ def preprocess(
         sel = selection_bits.astype(jnp.bool_)[:, None]
         hl = jnp.asarray(highlight_rgba, jnp.float32)
         rgb = jnp.where(sel, rgb * (1.0 - hl[3]) + hl[:3] * hl[3], rgb)
+
+    # --- opacity-aware extent ---
+    # cov2d_to_conic_radius returns a flat 3-sigma radius. The compositor
+    # zeroes contributions below ALPHA_EPS, so the exact live extent is
+    # sigma * sqrt(2 ln(alpha/ALPHA_EPS)) in splat mode (larger than 3 sigma
+    # for alpha ~ 1, much smaller for dim splats — fewer tile entries), and
+    # exactly 2 sigma in ellipse mode (flat fill cuts at power = -2). Point
+    # mode's radius is already exact.
+    if display_mode == 0:
+        cut = jnp.sqrt(2.0 * jnp.maximum(jnp.log(alpha * (1.0 / ALPHA_EPS)), 0.0))
+        radius = radius * (cut * (1.0 / 3.0))
+    elif display_mode == 1:
+        radius = radius * (2.0 / 3.0)
 
     # --- frustum cull in screen space ---
     margin = radius
