@@ -66,12 +66,14 @@ def cov3d_from_scale_rot(scale: jnp.ndarray, quat: jnp.ndarray) -> jnp.ndarray:
     )
 
 
-def transform_cov6(cov6: jnp.ndarray, m: jnp.ndarray) -> jnp.ndarray:
+def transform_cov6_t(cov6c: tuple, m: jnp.ndarray) -> tuple:
     """Congruence transform Sigma' = M Sigma M^T for a (3, 3) scalar matrix M.
 
-    cov6 (N, 6) packed; returns (N, 6) packed. Component-expanded.
+    cov6c: six (N,) uniques (xx, xy, xz, yy, yz, zz); returns the same tuple
+    form. Tuples-of-(N,) stay un-tiled on TPU; an (N, 6) array materializes
+    sublane-padded between fusion boundaries.
     """
-    xx, xy, xz, yy, yz, zz = (cov6[..., i] for i in range(6))
+    xx, xy, xz, yy, yz, zz = cov6c
     s = ((xx, xy, xz), (xy, yy, yz), (xz, yz, zz))
 
     # t[i][k] = sum_c M[i, c] * Sigma[c, k]
@@ -81,8 +83,13 @@ def transform_cov6(cov6: jnp.ndarray, m: jnp.ndarray) -> jnp.ndarray:
     def out(i, j):
         return t(i, 0) * m[j, 0] + t(i, 1) * m[j, 1] + t(i, 2) * m[j, 2]
 
+    return (out(0, 0), out(0, 1), out(0, 2), out(1, 1), out(1, 2), out(2, 2))
+
+
+def transform_cov6(cov6: jnp.ndarray, m: jnp.ndarray) -> jnp.ndarray:
+    """Stacked-array wrapper over `transform_cov6_t` (small/test use)."""
     return jnp.stack(
-        [out(0, 0), out(0, 1), out(0, 2), out(1, 1), out(1, 2), out(2, 2)], axis=-1
+        transform_cov6_t(tuple(cov6[..., i] for i in range(6)), m), axis=-1
     )
 
 
@@ -100,27 +107,28 @@ def unpack_cov3d(cov6: jnp.ndarray) -> jnp.ndarray:
 
 
 def project_cov3d_to_cov2d(
-    cov6: jnp.ndarray,
-    t_view: jnp.ndarray,
+    cov6c: tuple,
+    t_view: tuple,
     view3: jnp.ndarray,
     focal: tuple,
     tan_half_fov: tuple,
-) -> jnp.ndarray:
+) -> tuple:
     """EWA projection: 3D covariance -> 2D screen-space covariance.
 
-    cov6:   (N, 6) packed world-space covariance.
-    t_view: (N, 3) splat centers in view space (camera looks down -Z).
+    cov6c:  six (N,) packed world-space covariance uniques.
+    t_view: three (N,) splat-center components in view space (camera looks
+            down -Z).
     view3:  (3, 3) rotation part of the view matrix (scalar).
     focal:  (fx, fy) focal lengths in pixels.
     tan_half_fov: (tan_fov_x/2, tan_fov_y/2) for center clamping.
-    Returns (N, 3): (a, b, c) of the symmetric 2D covariance
+    Returns (a, b, c) (N,) components of the symmetric 2D covariance
     [[a, b], [b, c]] in pixel^2 (y down), including the low-pass dilation.
 
     Fully component-expanded: cov2d = (J W) Sigma (J W)^T with
     J = [[fx/d, 0, fx*tx/d^2], [0, -fy/d, -fy*ty/d^2]].
     """
     fx, fy = focal
-    tx, ty, tz = t_view[..., 0], t_view[..., 1], t_view[..., 2]
+    tx, ty, tz = t_view
     d = jnp.maximum(-tz, 1e-6)  # positive depth in front of camera
 
     # Clamp the projected center to ~1.3x the frustum to bound the Jacobian
@@ -140,7 +148,7 @@ def project_cov3d_to_cov2d(
     p = [j00 * view3[0, k] + j02 * view3[2, k] for k in range(3)]
     q = [j11 * view3[1, k] + j12 * view3[2, k] for k in range(3)]
 
-    xx, xy, xz, yy, yz, zz = (cov6[..., i] for i in range(6))
+    xx, xy, xz, yy, yz, zz = cov6c
     sp0 = xx * p[0] + xy * p[1] + xz * p[2]
     sp1 = xy * p[0] + yy * p[1] + yz * p[2]
     sp2 = xz * p[0] + yz * p[1] + zz * p[2]
@@ -151,19 +159,20 @@ def project_cov3d_to_cov2d(
     a = p[0] * sp0 + p[1] * sp1 + p[2] * sp2 + COV2D_DILATION
     b = q[0] * sp0 + q[1] * sp1 + q[2] * sp2
     c = q[0] * sq0 + q[1] * sq1 + q[2] * sq2 + COV2D_DILATION
-    return jnp.stack([a, b, c], -1)
+    return (a, b, c)
 
 
-def cov2d_to_conic_radius(cov2d: jnp.ndarray) -> tuple:
-    """2D covariance (a, b, c) -> (conic (A, B, C), radius_px, valid_det).
+def cov2d_to_conic_radius(cov2d: tuple) -> tuple:
+    """2D covariance (a, b, c) components -> ((A, B, C) conic components,
+    radius_px, valid_det).
 
     conic = inverse covariance; radius = 3 * sqrt(max eigenvalue).
     """
-    a, b, c = cov2d[..., 0], cov2d[..., 1], cov2d[..., 2]
+    a, b, c = cov2d
     det = a * c - b * b
     valid = det > 0.0
     inv_det = jnp.where(valid, 1.0 / jnp.maximum(det, 1e-12), 0.0)
-    conic = jnp.stack([c * inv_det, -b * inv_det, a * inv_det], -1)
+    conic = (c * inv_det, -b * inv_det, a * inv_det)
     mid = 0.5 * (a + c)
     disc = jnp.sqrt(jnp.maximum(mid * mid - det, 0.1))
     lambda1 = mid + disc

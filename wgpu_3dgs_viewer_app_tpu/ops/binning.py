@@ -107,12 +107,12 @@ def depth_key_bits(depth: jnp.ndarray, depth_bits: int) -> jnp.ndarray:
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def build_tile_lists(pre: PreprocessOut, cfg: TileConfig) -> TileLists:
     """Duplicate splats into touched tiles, sort, and slice per-tile runs."""
-    n = pre.mean2d.shape[0]
+    n = pre.mean_x.shape[0]
     tile = float(cfg.tile)
     ntx, nty = cfg.tiles_x, cfg.tiles_y
 
     # Tile rect touched by each splat's radius (inclusive bounds, clamped).
-    x, y, r = pre.mean2d[:, 0], pre.mean2d[:, 1], pre.radius
+    x, y, r = pre.mean_x, pre.mean_y, pre.radius
     tx0 = jnp.clip(jnp.floor((x - r) / tile), 0, ntx - 1).astype(jnp.int32)
     tx1 = jnp.clip(jnp.floor((x + r) / tile), 0, ntx - 1).astype(jnp.int32)
     ty0 = jnp.clip(jnp.floor((y - r) / tile), 0, nty - 1).astype(jnp.int32)
@@ -232,15 +232,15 @@ def build_entry_planes(pre: PreprocessOut, lists: TileLists, cfg: TileConfig) ->
     # TPU (a (E, 9) gather materializes with ~57x padding); 1D gathers don't.
     alpha_g = jnp.where(live, pre.alpha[src], 0.0)  # dead slots: exact no-ops
     planes = [
-        pre.mean2d[:, 0][src],
-        pre.mean2d[:, 1][src],
-        pre.conic[:, 0][src],
-        pre.conic[:, 1][src],
-        pre.conic[:, 2][src],
+        pre.mean_x[src],
+        pre.mean_y[src],
+        pre.conic_a[src],
+        pre.conic_b[src],
+        pre.conic_c[src],
         alpha_g,
-        pre.rgb[:, 0][src],
-        pre.rgb[:, 1][src],
-        pre.rgb[:, 2][src],
+        pre.col_r[src],
+        pre.col_g[src],
+        pre.col_b[src],
     ]
     ent = jnp.stack(planes, axis=0).reshape(N_PLANES, e_al // ROW, ROW)
     return EntryPlanes(
@@ -357,12 +357,12 @@ def build_sorted_entries(pre: PreprocessOut, cfg: TileConfig) -> SortedEntries:
     measured 3x slower — padded minor-dim materializations). The flat entry
     order is duplicate-major, which the sort erases anyway.
     """
-    n = pre.mean2d.shape[0]
+    n = pre.mean_x.shape[0]
     tile = float(cfg.tile)
     ntx, nty = cfg.tiles_x, cfg.tiles_y
     dmax = cfg.max_dup
 
-    x, y, r = pre.mean2d[:, 0], pre.mean2d[:, 1], pre.radius
+    x, y, r = pre.mean_x, pre.mean_y, pre.radius
     tx0 = jnp.clip(jnp.floor((x - r) / tile), 0, ntx - 1).astype(jnp.int32)
     tx1 = jnp.clip(jnp.floor((x + r) / tile), 0, ntx - 1).astype(jnp.int32)
     ty0 = jnp.clip(jnp.floor((y - r) / tile), 0, nty - 1).astype(jnp.int32)
@@ -412,18 +412,20 @@ def build_sorted_entries(pre: PreprocessOut, cfg: TileConfig) -> SortedEntries:
 
     alpha_u8 = jnp.clip(pre.alpha * 255.0 + 0.5, 0.0, 255.0).astype(jnp.uint32)
     sentinel = jnp.uint32(0xFFFFFFFF)
-    keys = jnp.where(
+    keys2d = jnp.where(
         live,
         (tile_id.astype(jnp.uint32) << jnp.uint32(db + cfg.ALPHA_BITS))
         | (dkey[None, :] << jnp.uint32(cfg.ALPHA_BITS))
         | alpha_u8[None, :],
         sentinel,
-    ).reshape(-1)
+    )
 
     # Pack per-entry payloads (mean relative to the entry's own tile origin,
     # 1/16-px fixed point — uniform precision, unlike f16 whose ulp grows
     # with distance from the tile origin).
-    rgb8 = jnp.clip(pre.rgb * 255.0 + 0.5, 0, 255).astype(jnp.uint32)
+    r8 = jnp.clip(pre.col_r * 255.0 + 0.5, 0, 255).astype(jnp.uint32)
+    g8 = jnp.clip(pre.col_g * 255.0 + 0.5, 0, 255).astype(jnp.uint32)
+    b8 = jnp.clip(pre.col_b * 255.0 + 0.5, 0, 255).astype(jnp.uint32)
     mxq = jnp.clip(
         (x[None, :] - etx.astype(jnp.float32) * tile + MEAN_FIX_BIAS) * MEAN_FIX_SCALE
         + 0.5,
@@ -436,17 +438,30 @@ def build_sorted_entries(pre: PreprocessOut, cfg: TileConfig) -> SortedEntries:
         0.0,
         4095.0,
     ).astype(jnp.uint32)
-    p1 = (mxq | (myq << jnp.uint32(12)) | (rgb8[:, 2][None, :] << jnp.uint32(24))).reshape(-1)
-    ab = _pack2xf16(pre.conic[:, 0], pre.conic[:, 1])  # per-splat, (N,)
-    p2 = jnp.broadcast_to(ab[None, :], (dmax, n)).reshape(-1)
+    p1_2d = mxq | (myq << jnp.uint32(12)) | (b8[None, :] << jnp.uint32(24))
+    ab = _pack2xf16(pre.conic_a, pre.conic_b)  # per-splat, (N,)
+    p2_2d = jnp.broadcast_to(ab[None, :], (dmax, n))
     crg = (
-        _f32_to_f16_bits(pre.conic[:, 2])
-        | (rgb8[:, 0] << jnp.uint32(16))
-        | (rgb8[:, 1] << jnp.uint32(24))
+        _f32_to_f16_bits(pre.conic_c)
+        | (r8 << jnp.uint32(16))
+        | (g8 << jnp.uint32(24))
     )
-    p3 = jnp.broadcast_to(crg[None, :], (dmax, n)).reshape(-1)
+    p3_2d = jnp.broadcast_to(crg[None, :], (dmax, n))
 
-    sk, s1, s2, s3 = jax.lax.sort((keys, p1, p2, p3), num_keys=1, is_stable=False)
+    # Materialize exactly these four (D, N) arrays, then flatten each ONCE.
+    # A (D, N) array is tiled (sublane, lane) on TPU, so every 2D->1D reshape
+    # is a physical relayout copy XLA runs as a ~2 ms while-loop at E=24M;
+    # without the barrier, fusion boundaries scatter ~17 such relayouts
+    # through this function (measured: ~32 ms/frame — see PERF_NOTES.md).
+    keys2d, p1_2d, p2_2d, p3_2d = jax.lax.optimization_barrier(
+        (keys2d, p1_2d, p2_2d, p3_2d)
+    )
+    keys = keys2d.reshape(-1)
+    sk, s1, s2, s3 = jax.lax.sort(
+        (keys, p1_2d.reshape(-1), p2_2d.reshape(-1), p3_2d.reshape(-1)),
+        num_keys=1,
+        is_stable=False,
+    )
 
     boundaries = (
         jnp.arange(cfg.n_tiles + 1, dtype=jnp.uint32) << jnp.uint32(db + cfg.ALPHA_BITS)

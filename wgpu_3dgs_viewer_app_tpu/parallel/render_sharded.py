@@ -20,6 +20,8 @@ tile-fragment ownership per chip (SURVEY §5 "long-context" row).
 
 from __future__ import annotations
 
+import dataclasses
+
 import functools
 
 import jax
@@ -57,18 +59,11 @@ def slab_config(cfg: TileConfig, n_devices: int) -> tuple:
 
 def _clip_to_slab(pre: PreprocessOut, y0, slab_h: int) -> PreprocessOut:
     """Shift screen y into slab-local coords and cull non-intersecting splats."""
-    mean2d = pre.mean2d - jnp.stack([jnp.float32(0.0), y0.astype(jnp.float32)])
-    y = mean2d[:, 1]
+    y = pre.mean_y - y0.astype(jnp.float32)
     intersects = (y + pre.radius > 0) & (y - pre.radius < slab_h)
     valid = pre.valid & intersects
-    return PreprocessOut(
-        mean2d=mean2d,
-        conic=pre.conic,
-        rgb=pre.rgb,
-        alpha=jnp.where(valid, pre.alpha, 0.0),
-        depth=pre.depth,
-        radius=pre.radius,
-        valid=valid,
+    return dataclasses.replace(
+        pre, mean_y=y, alpha=jnp.where(valid, pre.alpha, 0.0), valid=valid
     )
 
 
