@@ -242,3 +242,20 @@ def test_f16_bit_roundtrip():
     # zeros stay exactly zero
     z, _ = unpack2xf16(_pack2xf16(jnp.zeros(8), jnp.zeros(8)))
     np.testing.assert_array_equal(np.asarray(z), 0.0)
+
+
+def test_enum_pallas_interpret_matches_jnp():
+    from wgpu_3dgs_viewer_app_tpu.ops import build_sorted_entries, composite_tiles_jnp_v2
+
+    _, _, pre, _, _ = setup_scene(n=300, w=96, h=96, sh_degree=1)
+    cfg = TileConfig(96, 96, tile=16, max_dup=8)
+    a = build_sorted_entries(pre, cfg, impl="jnp")
+    b = build_sorted_entries(pre, cfg, impl="interpret")
+    # Entry orders differ ((D, N)-major vs (row, d, lane)) and the Pallas
+    # path pads N to a lane multiple, but per-tile ranges and the rendered
+    # image must agree exactly.
+    np.testing.assert_array_equal(np.asarray(a.tile_counts), np.asarray(b.tile_counts))
+    assert int(a.n_valid) == int(b.n_valid)
+    img_a = composite_tiles_jnp_v2(a, cfg)
+    img_b = composite_tiles_jnp_v2(b, cfg)
+    np.testing.assert_allclose(np.asarray(img_a), np.asarray(img_b), atol=1e-6)

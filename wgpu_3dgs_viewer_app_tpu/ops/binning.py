@@ -348,32 +348,185 @@ def unpack2xf16(w: jnp.ndarray) -> tuple:
     return lo, hi
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def build_sorted_entries(pre: PreprocessOut, cfg: TileConfig) -> SortedEntries:
+def _enum_cell(d: int, tx0, rw, ty0, rh):
+    """Center-out cell d of a splat's tile rect: alternating offsets around
+    the mean's cell in both axes, so truncation at max_dup drops the far
+    corners (graceful dimming) instead of whole trailing rows (grid seams)."""
+    m = jnp.remainder(jnp.int32(d), rw)   # within-row step
+    k = jnp.floor_divide(jnp.int32(d), rw)  # row step
+    off_x = ((m + 1) >> 1) * jnp.where((m & 1) == 1, 1, -1)
+    off_y = ((k + 1) >> 1) * jnp.where((k & 1) == 1, 1, -1)
+    etx = tx0 + (rw - 1) // 2 + off_x
+    ety = ty0 + (rh - 1) // 2 + off_y
+    return etx, ety
+
+
+def _entry_planes_for_cell(
+    d: int, x, y, r2s, key_lo, p1_base, tx0, rw, ty0, rh, n_touched, cfg: TileConfig
+):
+    """One duplicate plane: (key, p1) for center-out cell d of every splat."""
+    tile = float(cfg.tile)
+    etx, ety = _enum_cell(d, tx0, rw, ty0, rh)
+    ox = etx.astype(jnp.float32) * tile
+    oy = ety.astype(jnp.float32) * tile
+    # Tight tile culling: drop rect cells whose nearest point to the splat
+    # center is outside the live radius (rect corners often miss the
+    # ellipse; typically trims ~20-40% of entries before the sort).
+    cx = jnp.clip(x, ox, ox + tile)
+    cy = jnp.clip(y, oy, oy + tile)
+    dist2 = (x - cx) ** 2 + (y - cy) ** 2
+    live = (d < n_touched) & (dist2 <= r2s)
+    tile_id = (ety * cfg.tiles_x + etx).astype(jnp.uint32)
+    key = jnp.where(
+        live,
+        (tile_id << jnp.uint32(cfg.v2_depth_bits + cfg.ALPHA_BITS)) | key_lo,
+        jnp.uint32(0xFFFFFFFF),
+    )
+    # Mean relative to the entry's own tile origin, 1/16-px fixed point —
+    # uniform precision, unlike f16 whose ulp grows away from the origin.
+    # f32 -> i32 -> u32: Mosaic has no direct f32 -> u32 convert.
+    mxq = (
+        jnp.clip((x - ox + MEAN_FIX_BIAS) * MEAN_FIX_SCALE + 0.5, 0.0, 4095.0)
+        .astype(jnp.int32)
+        .astype(jnp.uint32)
+    )
+    myq = (
+        jnp.clip((y - oy + MEAN_FIX_BIAS) * MEAN_FIX_SCALE + 0.5, 0.0, 4095.0)
+        .astype(jnp.int32)
+        .astype(jnp.uint32)
+    )
+    p1 = mxq | (myq << jnp.uint32(12)) | p1_base
+    return key, p1
+
+
+def _splat_rect(x, y, r, cfg: TileConfig):
+    tile = float(cfg.tile)
+    tx0 = jnp.clip(jnp.floor((x - r) / tile), 0, cfg.tiles_x - 1).astype(jnp.int32)
+    tx1 = jnp.clip(jnp.floor((x + r) / tile), 0, cfg.tiles_x - 1).astype(jnp.int32)
+    ty0 = jnp.clip(jnp.floor((y - r) / tile), 0, cfg.tiles_y - 1).astype(jnp.int32)
+    ty1 = jnp.clip(jnp.floor((y + r) / tile), 0, cfg.tiles_y - 1).astype(jnp.int32)
+    rw = tx1 - tx0 + 1
+    rh = ty1 - ty0 + 1
+    return tx0, rw, ty0, rh, rw * rh
+
+
+def _enumerate_entries_jnp(x, y, r, r2s, key_lo, p1_base, p2s, p3s, cfg: TileConfig):
+    """(D, N)-oriented enumeration (portable reference; the minor dim stays
+    the large N so intermediates keep compact layouts)."""
+    n = x.shape[0]
+    dmax = cfg.max_dup
+    tx0, rw, ty0, rh, n_touched = _splat_rect(x, y, r, cfg)
+    keys, p1s = [], []
+    for d in range(dmax):
+        key_d, p1_d = _entry_planes_for_cell(
+            d, x, y, r2s, key_lo, p1_base, tx0, rw, ty0, rh, n_touched, cfg
+        )
+        keys.append(key_d)
+        p1s.append(p1_d)
+    keys2d = jnp.stack(keys, axis=0)
+    p1_2d = jnp.stack(p1s, axis=0)
+    p2_2d = jnp.broadcast_to(p2s[None, :], (dmax, n))
+    p3_2d = jnp.broadcast_to(p3s[None, :], (dmax, n))
+    # Materialize exactly these four (D, N) arrays, then flatten each ONCE.
+    # A (D, N) array is tiled (sublane, lane) on TPU, so every 2D->1D reshape
+    # is a physical relayout copy XLA runs as a ~2 ms while-loop at E=24M;
+    # without the barrier, fusion boundaries scatter ~17 such relayouts
+    # through this function (measured: ~32 ms/frame — see PERF_NOTES.md).
+    keys2d, p1_2d, p2_2d, p3_2d = jax.lax.optimization_barrier(
+        (keys2d, p1_2d, p2_2d, p3_2d)
+    )
+    return (
+        keys2d.reshape(-1),
+        p1_2d.reshape(-1),
+        p2_2d.reshape(-1),
+        p3_2d.reshape(-1),
+    )
+
+
+def _enum_pack_kernel(x_ref, y_ref, r_ref, r2_ref, klo_ref, p1b_ref, p2_ref, p3_ref,
+                      keys_ref, p1_ref, p2o_ref, p3o_ref, *, cfg: TileConfig):
+    """Pallas enumeration: one grid step handles a (Rb, 128) splat block and
+    writes its (Rb, D, 128) entry planes — entry order (row, d, lane), chosen
+    so the 3D->1D flatten is layout-preserving (no relayout copy before the
+    sort; the (D, N)-major jnp order costs 4 while-loop relayouts)."""
+    x, y = x_ref[...], y_ref[...]
+    r2s, key_lo, p1_base = r2_ref[...], klo_ref[...], p1b_ref[...]
+    tx0, rw, ty0, rh, n_touched = _splat_rect(x, y, r_ref[...], cfg)
+    for d in range(cfg.max_dup):  # static unroll
+        key_d, p1_d = _entry_planes_for_cell(
+            d, x, y, r2s, key_lo, p1_base, tx0, rw, ty0, rh, n_touched, cfg
+        )
+        keys_ref[:, d, :] = key_d
+        p1_ref[:, d, :] = p1_d
+        p2o_ref[:, d, :] = p2_ref[...]
+        p3o_ref[:, d, :] = p3_ref[...]
+
+
+def _enumerate_entries_pallas(
+    x, y, r, r2s, key_lo, p1_base, p2s, p3s, cfg: TileConfig, interpret: bool = False
+):
+    from jax.experimental import pallas as pl
+
+    n = x.shape[0]
+    rb = 256
+    pad = (-n) % (ROW * rb)
+    if pad:
+        # Padded splats carry r2s = -1 -> never live -> sentinel keys.
+        x, y, r, key_lo, p1_base, p2s, p3s = (
+            jnp.concatenate([a, jnp.zeros(pad, a.dtype)])
+            for a in (x, y, r, key_lo, p1_base, p2s, p3s)
+        )
+        r2s = jnp.concatenate([r2s, jnp.full(pad, -1.0, r2s.dtype)])
+    n_pad = n + pad
+    rows_total = n_pad // ROW
+    grid = (rows_total // rb,)
+    d = cfg.max_dup
+
+    def in_spec():
+        return pl.BlockSpec((rb, ROW), lambda i: (i, 0))
+
+    out_spec = pl.BlockSpec((rb, d, ROW), lambda i: (i, 0, 0))
+    out_shape = jax.ShapeDtypeStruct((rows_total, d, ROW), jnp.uint32)
+    ins = [a.reshape(rows_total, ROW) for a in (x, y, r, r2s, key_lo, p1_base, p2s, p3s)]
+    kernel = functools.partial(_enum_pack_kernel, cfg=cfg)
+    keys, p1, p2, p3 = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[in_spec() for _ in ins],
+        out_specs=[out_spec] * 4,
+        out_shape=[out_shape] * 4,
+        interpret=interpret,
+    )(*ins)
+    return tuple(a.reshape(-1) for a in (keys, p1, p2, p3))
+
+
+def _enumerate_entries(x, y, r, r2s, key_lo, p1_base, p2s, p3s, cfg, impl):
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "jnp"
+    if impl == "jnp":
+        return _enumerate_entries_jnp(x, y, r, r2s, key_lo, p1_base, p2s, p3s, cfg)
+    return _enumerate_entries_pallas(
+        x, y, r, r2s, key_lo, p1_base, p2s, p3s, cfg, interpret=impl == "interpret"
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "impl"))
+def build_sorted_entries(
+    pre: PreprocessOut, cfg: TileConfig, impl: str = "auto"
+) -> SortedEntries:
     """Duplicate -> pack -> sort-with-payloads -> per-tile ranges.
 
-    Duplicates are enumerated in (D, N) orientation: the minor dim stays the
-    large N so every intermediate keeps a compact layout ((N, D) orientation
-    measured 3x slower — padded minor-dim materializations). The flat entry
-    order is duplicate-major, which the sort erases anyway.
+    `impl` selects the enumeration stage: "pallas" (TPU kernel), "jnp"
+    (portable reference), "interpret" (Pallas interpret mode, for tests),
+    "auto" (pallas on TPU else jnp).
     """
-    n = pre.mean_x.shape[0]
-    tile = float(cfg.tile)
-    ntx, nty = cfg.tiles_x, cfg.tiles_y
-    dmax = cfg.max_dup
+    x, y = pre.mean_x, pre.mean_y
+    db = cfg.v2_depth_bits
 
-    x, y, r = pre.mean_x, pre.mean_y, pre.radius
-    tx0 = jnp.clip(jnp.floor((x - r) / tile), 0, ntx - 1).astype(jnp.int32)
-    tx1 = jnp.clip(jnp.floor((x + r) / tile), 0, ntx - 1).astype(jnp.int32)
-    ty0 = jnp.clip(jnp.floor((y - r) / tile), 0, nty - 1).astype(jnp.int32)
-    ty1 = jnp.clip(jnp.floor((y + r) / tile), 0, nty - 1).astype(jnp.int32)
-    rw = tx1 - tx0 + 1
-    n_touched = rw * (ty1 - ty0 + 1)
-
+    # --- per-splat precursors (N,) — fuse with whatever produced `pre` ---
     # Log-depth quantized to the frame's occupied range: uniform ordering
     # resolution over [dmin, dmax] (raw f32-bit slicing wastes key bits on
     # the unoccupied exponent range).
-    db = cfg.v2_depth_bits
     ld = jnp.log(jnp.maximum(pre.depth, 1e-6))
     big = jnp.float32(3.4e38)
     ld_min = jnp.min(jnp.where(pre.valid, ld, big))
@@ -383,85 +536,28 @@ def build_sorted_entries(pre: PreprocessOut, cfg: TileConfig) -> SortedEntries:
     dkey = jnp.clip(
         (ld - ld_min) / span * float(2**db - 1), 0.0, float(2**db - 1)
     ).astype(jnp.uint32)
-
-    # Enumerate rect cells CENTER-OUT (alternating around the mean's cell in
-    # both axes) so that when a splat's rect exceeds max_dup, the dropped
-    # cells are the far corners (graceful dimming) instead of whole trailing
-    # rows (hard tile-grid seams).
-    rh = ty1 - ty0 + 1
-    j = jnp.arange(dmax, dtype=jnp.int32)[:, None]  # (D, 1)
-    m = j % rw[None, :]   # within-row step
-    k = j // rw[None, :]  # row step
-    cx_cell = (rw[None, :] - 1) // 2
-    cy_cell = (rh[None, :] - 1) // 2
-    off_x = ((m + 1) >> 1) * jnp.where((m & 1) == 1, 1, -1)
-    off_y = ((k + 1) >> 1) * jnp.where((k & 1) == 1, 1, -1)
-    etx = tx0[None, :] + cx_cell + off_x
-    ety = ty0[None, :] + cy_cell + off_y
-    tile_id = ety * ntx + etx  # (D, N)
-    live = pre.valid[None, :] & (j < n_touched[None, :])
-    # Tight tile culling: drop rect cells whose nearest point to the splat
-    # center is outside the 3-sigma radius (rect corners often miss the
-    # ellipse; typically trims ~20-40% of entries before the sort).
-    ox = etx.astype(jnp.float32) * tile
-    oy = ety.astype(jnp.float32) * tile
-    cx = jnp.clip(x[None, :], ox, ox + tile)
-    cy = jnp.clip(y[None, :], oy, oy + tile)
-    dist2 = (x[None, :] - cx) ** 2 + (y[None, :] - cy) ** 2
-    live = live & (dist2 <= (r * r)[None, :])
-
     alpha_u8 = jnp.clip(pre.alpha * 255.0 + 0.5, 0.0, 255.0).astype(jnp.uint32)
-    sentinel = jnp.uint32(0xFFFFFFFF)
-    keys2d = jnp.where(
-        live,
-        (tile_id.astype(jnp.uint32) << jnp.uint32(db + cfg.ALPHA_BITS))
-        | (dkey[None, :] << jnp.uint32(cfg.ALPHA_BITS))
-        | alpha_u8[None, :],
-        sentinel,
-    )
-
-    # Pack per-entry payloads (mean relative to the entry's own tile origin,
-    # 1/16-px fixed point — uniform precision, unlike f16 whose ulp grows
-    # with distance from the tile origin).
+    key_lo = (dkey << jnp.uint32(cfg.ALPHA_BITS)) | alpha_u8
     r8 = jnp.clip(pre.col_r * 255.0 + 0.5, 0, 255).astype(jnp.uint32)
     g8 = jnp.clip(pre.col_g * 255.0 + 0.5, 0, 255).astype(jnp.uint32)
     b8 = jnp.clip(pre.col_b * 255.0 + 0.5, 0, 255).astype(jnp.uint32)
-    mxq = jnp.clip(
-        (x[None, :] - etx.astype(jnp.float32) * tile + MEAN_FIX_BIAS) * MEAN_FIX_SCALE
-        + 0.5,
-        0.0,
-        4095.0,
-    ).astype(jnp.uint32)
-    myq = jnp.clip(
-        (y[None, :] - ety.astype(jnp.float32) * tile + MEAN_FIX_BIAS) * MEAN_FIX_SCALE
-        + 0.5,
-        0.0,
-        4095.0,
-    ).astype(jnp.uint32)
-    p1_2d = mxq | (myq << jnp.uint32(12)) | (b8[None, :] << jnp.uint32(24))
-    ab = _pack2xf16(pre.conic_a, pre.conic_b)  # per-splat, (N,)
-    p2_2d = jnp.broadcast_to(ab[None, :], (dmax, n))
-    crg = (
+    p1_base = b8 << jnp.uint32(24)
+    p2s = _pack2xf16(pre.conic_a, pre.conic_b)
+    p3s = (
         _f32_to_f16_bits(pre.conic_c)
         | (r8 << jnp.uint32(16))
         | (g8 << jnp.uint32(24))
     )
-    p3_2d = jnp.broadcast_to(crg[None, :], (dmax, n))
+    # Validity folded into the tight-cull radius: dist2 >= 0 > -1 always
+    # fails, so invalid splats produce no live cells.
+    r2s = jnp.where(pre.valid, pre.radius * pre.radius, -1.0)
 
-    # Materialize exactly these four (D, N) arrays, then flatten each ONCE.
-    # A (D, N) array is tiled (sublane, lane) on TPU, so every 2D->1D reshape
-    # is a physical relayout copy XLA runs as a ~2 ms while-loop at E=24M;
-    # without the barrier, fusion boundaries scatter ~17 such relayouts
-    # through this function (measured: ~32 ms/frame — see PERF_NOTES.md).
-    keys2d, p1_2d, p2_2d, p3_2d = jax.lax.optimization_barrier(
-        (keys2d, p1_2d, p2_2d, p3_2d)
+    # --- per-entry enumeration + packing (N*D,) ---
+    keys, p1, p2, p3 = _enumerate_entries(
+        x, y, pre.radius, r2s, key_lo, p1_base, p2s, p3s, cfg, impl
     )
-    keys = keys2d.reshape(-1)
-    sk, s1, s2, s3 = jax.lax.sort(
-        (keys, p1_2d.reshape(-1), p2_2d.reshape(-1), p3_2d.reshape(-1)),
-        num_keys=1,
-        is_stable=False,
-    )
+
+    sk, s1, s2, s3 = jax.lax.sort((keys, p1, p2, p3), num_keys=1, is_stable=False)
 
     boundaries = (
         jnp.arange(cfg.n_tiles + 1, dtype=jnp.uint32) << jnp.uint32(db + cfg.ALPHA_BITS)
@@ -482,7 +578,10 @@ def build_sorted_entries(pre: PreprocessOut, cfg: TileConfig) -> SortedEntries:
     # (R, 4, 128): one compositor chunk = one contiguous (1, 4, 128) DMA;
     # plane 0 is the sorted key (alpha in its low byte).
     planes = jnp.stack([rows(sk), rows(s1), rows(s2), rows(s3)], axis=1)
-    n_valid = jnp.sum(live.astype(jnp.int32))
+    # Live entries all key below the first out-of-range tile boundary and
+    # sentinels above it, so the last searchsorted edge IS the live count —
+    # no 24M reduction needed.
+    n_valid = edges[cfg.n_tiles]
     return SortedEntries(
         planes=planes, tile_starts=tile_starts, tile_counts=tile_counts, n_valid=n_valid
     )
