@@ -83,10 +83,151 @@ def time_frames(step, args, iters=10, warmup=2):
     return (time.perf_counter() - t0) / iters
 
 
+def bench_config2(results):
+    """BASELINE config 2: 3 models, per-model transforms + color edits,
+    composited back-to-front in one frame (ref multi-model scene)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from wgpu_3dgs_viewer_app_tpu.core import CameraOrbitControl, ModelTransform
+    from wgpu_3dgs_viewer_app_tpu.core.edit import EDIT_FLAG_ENABLED
+    from wgpu_3dgs_viewer_app_tpu.data import make_random_scene
+    from wgpu_3dgs_viewer_app_tpu.viewer import MultiModelViewer
+
+    w, h = 1920, 1088
+    viewer = MultiModelViewer(w, h, tile=32, max_dup=4)
+    placements = ((-2.0, 0.0), (0.0, 40.0), (2.0, -40.0))
+    for i, (dxx, rot) in enumerate(placements):
+        g = make_random_scene(1_000_000, seed=i, extent=1.5, scale_range=(0.004, 0.02))
+        m = viewer.add_model(f"m{i}", g)
+        viewer.update_model_transform(
+            f"m{i}",
+            ModelTransform(
+                pos=np.array([dxx, 0.0, 0.0], np.float32),
+                rot=np.array([0.0, rot, 0.0], np.float32),
+            ),
+        )
+        # Per-model color edit: hue shift + saturation scale on every splat.
+        n = m.buffers.edit_flags.shape[0]
+        m.buffers.edit_flags = jnp.full(n, EDIT_FLAG_ENABLED, jnp.uint32)
+        m.buffers.edit_rgb = jnp.broadcast_to(
+            jnp.asarray([0.08 * i, 1.1, 1.0], jnp.float32), (n, 3)
+        )
+    cam = CameraOrbitControl(target=(0, 0, 0), pos=(0, 0, -7))
+    viewer.update_camera(cam)
+
+    def step():
+        return viewer.render()
+
+    for _ in range(2):
+        float(step().ravel()[0:1].sum())
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(6):
+        out = step()
+    float(out.ravel()[0:1].sum())
+    dt = (time.perf_counter() - t0) / 6
+    results["config2_multimodel_fps"] = 1.0 / dt
+    log(f"config2 (3x1M multi-model 1080p): {dt*1000:.2f} ms = {1/dt:.1f} fps")
+
+
+def bench_config3(results):
+    """BASELINE config 3: rect selection pass + color edit on 2M splats."""
+    import jax.numpy as jnp
+
+    from wgpu_3dgs_viewer_app_tpu.core.edit import EDIT_FLAG_ENABLED
+    from wgpu_3dgs_viewer_app_tpu.ops import (
+        build_sorted_entries,
+        composite_tiles_pallas_v2,
+        preprocess,
+    )
+    from wgpu_3dgs_viewer_app_tpu.query import select_rect
+    from wgpu_3dgs_viewer_app_tpu.ops import TileConfig
+
+    comp, pod, view, proj, cfg = build(2_000_000, 1920, 1088, 3, 0)
+    use_pallas = jax.default_backend() == "tpu"
+    sel_edit = (
+        jnp.uint32(EDIT_FLAG_ENABLED),
+        jnp.asarray([0.15, 1.2, 1.0], jnp.float32),
+        jnp.asarray([0.1, 0.2, 1.0, 1.0], jnp.float32),
+    )
+    hl = jnp.asarray([1.0, 0.0, 1.0, 0.4], jnp.float32)
+
+    def step(pod, view, proj):
+        pre = preprocess(
+            pod, comp, view, proj, jnp.eye(4), cfg.width, cfg.height,
+            sh_degree=3, display_mode=0,
+        )
+        bits = select_rect(pre, (400.0, 200.0), (1400.0, 800.0))
+        pre2 = preprocess(
+            pod, comp, view, proj, jnp.eye(4), cfg.width, cfg.height,
+            sh_degree=3, display_mode=0,
+            selection_bits=bits, selection_edit=sel_edit, highlight_rgba=hl,
+        )
+        entries = build_sorted_entries(pre2, cfg)
+        if use_pallas:
+            return composite_tiles_pallas_v2(entries, cfg)
+        from wgpu_3dgs_viewer_app_tpu.ops import composite_tiles_jnp_v2
+
+        return composite_tiles_jnp_v2(entries, cfg)
+
+    dt = time_frames(step, (pod, view, proj), iters=8)
+    results["config3_selection_edit_fps"] = 1.0 / dt
+    log(f"config3 (2M rect-select + edit 1080p): {dt*1000:.2f} ms = {1/dt:.1f} fps")
+
+
+def bench_config4(results):
+    """BASELINE config 4: composite shape masks gating 6M splats at 1080p."""
+    import jax.numpy as jnp
+
+    from wgpu_3dgs_viewer_app_tpu.mask import MaskEvaluator, MaskShape, MaskShapeKind, parse
+    from wgpu_3dgs_viewer_app_tpu.ops import (
+        build_sorted_entries,
+        composite_tiles_pallas_v2,
+        composite_tiles_jnp_v2,
+        preprocess,
+    )
+
+    comp, pod, view, proj, cfg = build(6_000_000, 1920, 1088, 3, 0)
+    use_pallas = jax.default_backend() == "tpu"
+    shapes = [
+        MaskShape(kind=MaskShapeKind.BOX, pos=(0, 0, 0), scale=(1.5, 1.5, 1.5)).to_pod(),
+        MaskShape(kind=MaskShapeKind.ELLIPSOID, pos=(0.5, 0, 0), scale=(1.0, 1.0, 1.0)).to_pod(),
+        MaskShape(kind=MaskShapeKind.BOX, pos=(-0.5, 0.4, 0), scale=(0.6, 0.6, 0.6)).to_pod(),
+    ]
+    op = parse("(0 | 1) - 2")
+    ev = jax.jit(lambda pts: MaskEvaluator().evaluate(op, shapes, pts))
+    pts = jnp.asarray(pod["pos"]).T
+    bits = ev(pts)
+    float(bits[0:1].sum())  # compile
+    t0 = time.perf_counter()
+    float(ev(pts)[0:1].sum())
+    log(f"config4 mask eval over 6M: {(time.perf_counter()-t0)*1000:.2f} ms")
+
+    def step(pod, view, proj, bits):
+        pre = preprocess(
+            pod, comp, view, proj, jnp.eye(4), cfg.width, cfg.height,
+            sh_degree=3, display_mode=0, mask_bits=bits,
+        )
+        entries = build_sorted_entries(pre, cfg)
+        if use_pallas:
+            return composite_tiles_pallas_v2(entries, cfg)
+        return composite_tiles_jnp_v2(entries, cfg)
+
+    dt = time_frames(step, (pod, view, proj, bits), iters=8)
+    results["config4_masked_6m_fps"] = 1.0 / dt
+    log(f"config4 (6M mask-gated 1080p): {dt*1000:.2f} ms = {1/dt:.1f} fps")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true", help="small scene only (CI/CPU)")
     ap.add_argument("--splats", type=int, default=None)
+    ap.add_argument(
+        "--headline-only",
+        action="store_true",
+        help="skip BASELINE configs 2-4 (multi-model / selection / mask)",
+    )
     args = ap.parse_args()
 
     backend = jax.default_backend()
@@ -121,6 +262,11 @@ def main():
     fps = 1.0 / dt
     results["config1_6m_1080p_fps"] = fps
     log(f"config1 ({n} splat 1080p SH3): {dt*1000:.2f} ms = {fps:.1f} fps")
+
+    if not args.headline_only:
+        bench_config2(results)
+        bench_config3(results)
+        bench_config4(results)
 
     print(json.dumps({
         "metric": "fps_1080p_6m_splats",

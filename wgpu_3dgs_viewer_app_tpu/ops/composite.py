@@ -60,9 +60,9 @@ def _chunk_alpha(chunk, px, py, flat_mode: bool):
         a = jnp.where(power >= FLAT_POWER_CUTOFF, op, 0.0)
         a = jnp.broadcast_to(a, power.shape)
     else:
-        a = op * jnp.exp(power)
+        a = op * jnp.exp(jnp.minimum(power, 0.0))  # see _alpha_from_power
     a = jnp.minimum(a, ALPHA_MAX)
-    a = jnp.where((power > 0.0) | (a < ALPHA_EPS), 0.0, a)
+    a = jnp.where(a < ALPHA_EPS, 0.0, a)
     return a, r, g, b
 
 
@@ -328,17 +328,65 @@ def _chunk_alpha_packed(key, p1, p2, p3, px, py, live, flat_mode: bool):
     cc = _f16_bits_to_f32(p3 & jnp.uint32(0xFFFF))
     r = _u8_unit(p3, 16)
     g = _u8_unit(p3, 24)
+    return _gaussian_alpha(op, mx, my, ca, cb, cc, px, py, live, flat_mode) + (r, g, b)
+
+
+def _gaussian_alpha(op, mx, my, ca, cb, cc, px, py, live, flat_mode):
     dx = px - mx
     dy = py - my
     power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+    return (_alpha_from_power(power, op, live, flat_mode),)
+
+
+def _alpha_from_power(power, op, live, flat_mode):
     if flat_mode:
         a = jnp.where(power >= FLAT_POWER_CUTOFF, op, 0.0)
         a = jnp.broadcast_to(a, power.shape)
     else:
-        a = op * jnp.exp(power)
+        # Clamp power to <= 0 instead of hard-masking power > 0: the quadratic
+        # form is only positive through f16/rearrangement wobble, and a hard
+        # cut sits exactly on the splat center (power == 0) where any +/-eps
+        # flips the center pixel between full alpha and a hole.
+        a = op * jnp.exp(jnp.minimum(power, 0.0))
     a = jnp.minimum(a, ALPHA_MAX)
-    a = jnp.where((power > 0.0) | (a < ALPHA_EPS) | ~live, 0.0, a)
-    return a, r, g, b
+    return jnp.where((a < ALPHA_EPS) | ~live, 0.0, a)
+
+
+def _chunk_alpha_mxu(key, p1, p2, p3, f_mat, live):
+    """MXU variant of `_chunk_alpha_packed` (splat mode only): the Gaussian
+    exponent is a quadratic in pixel coords, so its (P, C) evaluation is one
+    matmul power = F @ G with F the per-tile pixel quadratic basis
+    [px^2, py^2, px*py, px, py, 1, 0, 0] and G the per-entry coefficients —
+    the VPU only decodes fields (C-wide) and applies exp/masking."""
+    op = _u8_unit(key, 0)
+    inv = jnp.float32(1.0 / MEAN_FIX_SCALE)
+    mx = (p1 & jnp.uint32(0xFFF)).astype(jnp.int32).astype(jnp.float32) * inv - MEAN_FIX_BIAS
+    my = ((p1 >> jnp.uint32(12)) & jnp.uint32(0xFFF)).astype(jnp.int32).astype(
+        jnp.float32
+    ) * inv - MEAN_FIX_BIAS
+    b = _u8_unit(p1, 24)
+    ca, cb = unpack2xf16(p2)
+    cc = _f16_bits_to_f32(p3 & jnp.uint32(0xFFFF))
+    r = _u8_unit(p3, 16)
+    g = _u8_unit(p3, 24)
+    zero = jnp.zeros_like(ca)
+    g_mat = jnp.concatenate(
+        [
+            -0.5 * ca,
+            -0.5 * cc,
+            -cb,
+            ca * mx + cb * my,
+            cc * my + cb * mx,
+            -(0.5 * (ca * mx * mx + cc * my * my) + cb * mx * my),
+            zero,
+            zero,
+        ],
+        axis=0,
+    )  # (8, C)
+    power = jax.lax.dot_general(
+        f_mat, g_mat, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (P, C)
+    return _alpha_from_power(power, op, live, flat_mode=False), r, g, b
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "flat_mode"))
@@ -406,6 +454,7 @@ def _composite_kernel_v2(
     *,
     cfg: TileConfig,
     flat_mode: bool,
+    mxu: bool = False,
 ):
     from .binning import ROW
 
@@ -421,6 +470,15 @@ def _composite_kernel_v2(
     px = (lane % tile).astype(jnp.float32) + 0.5  # tile-local pixel coords
     py = (lane // tile).astype(jnp.float32) + 0.5
     col = jax.lax.broadcasted_iota(jnp.int32, (1, ROW), 1)
+    if mxu and not flat_mode:
+        # Quadratic-basis pixel matrix for the MXU power matmul (see
+        # _chunk_alpha_mxu): F = [px^2, py^2, px*py, px, py, 1] (P, 8; two
+        # zero columns pad K to the MXU-friendly 8).
+        zero = jnp.zeros_like(px)
+        f_mat = jnp.concatenate(
+            [px * px, py * py, px * py, px, py, jnp.ones_like(px), zero, zero],
+            axis=1,
+        )  # (P, 8)
 
     def scoped(buf, t_buf, rgb_buf, sems):
         t_buf[:] = jnp.ones((p, 1), jnp.float32)
@@ -454,9 +512,14 @@ def _composite_kernel_v2(
             chunk = buf[slot][0]  # (4, ROW) u32
             gidx = (row0 + c) * ROW + col
             live = (gidx >= start) & (gidx < start + count)
-            a, r, g, b = _chunk_alpha_packed(
-                chunk[0:1], chunk[1:2], chunk[2:3], chunk[3:4], px, py, live, flat_mode
-            )
+            if mxu and not flat_mode:
+                a, r, g, b = _chunk_alpha_mxu(
+                    chunk[0:1], chunk[1:2], chunk[2:3], chunk[3:4], f_mat, live
+                )
+            else:
+                a, r, g, b = _chunk_alpha_packed(
+                    chunk[0:1], chunk[1:2], chunk[2:3], chunk[3:4], px, py, live, flat_mode
+                )
             incl, excl = _excl_cumprod_lanes(1.0 - a, use_roll=True)
             tcur = t_buf[:, 0:1]
             w = tcur * excl * a
@@ -485,14 +548,22 @@ def _composite_kernel_v2(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "flat_mode", "interpret"))
+@functools.partial(jax.jit, static_argnames=("cfg", "flat_mode", "interpret", "mxu"))
 def composite_tiles_pallas_v2(
     entries: SortedEntries,
     cfg: TileConfig,
     flat_mode: bool = False,
     interpret: bool = False,
+    mxu: bool = False,
 ) -> jnp.ndarray:
-    """Pallas v2 compositor. Returns (H, W, 4) f32."""
+    """Pallas v2 compositor. Returns (H, W, 4) f32.
+
+    mxu=True evaluates the per-chunk Gaussian exponent as a quadratic-basis
+    matmul on the MXU (splat mode). Measured on v5e it is a wash (~5% slower:
+    Mosaic pads the K=8 contraction to a full 128 MXU column, costing more
+    than the VPU ops it saves), so the VPU path is the default; kept as the
+    template for wider-K batched formulations.
+    """
     tile = cfg.tile
     p = tile * tile
 
@@ -502,7 +573,9 @@ def composite_tiles_pallas_v2(
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((1, 4, p), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
     )
-    kernel = functools.partial(_composite_kernel_v2, cfg=cfg, flat_mode=flat_mode)
+    kernel = functools.partial(
+        _composite_kernel_v2, cfg=cfg, flat_mode=flat_mode, mxu=mxu
+    )
     tiles = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,

@@ -44,9 +44,11 @@ def rasterize_reference(
         if flat_mode:
             av = jnp.where(power >= FLAT_POWER_CUTOFF, a, 0.0)
         else:
-            av = a * jnp.exp(power)
+            # Clamped (not hard-masked) at power = 0, matching the tiled
+            # compositors — see composite._alpha_from_power.
+            av = a * jnp.exp(jnp.minimum(power, 0.0))
         av = jnp.minimum(av, ALPHA_MAX)
-        av = jnp.where((power > 0.0) | (av < ALPHA_EPS) | ~v, 0.0, av)
+        av = jnp.where((av < ALPHA_EPS) | ~v, 0.0, av)
         acc = acc + (t * av)[..., None] * col
         t = t * (1.0 - av)
         return (t, acc), None
