@@ -197,7 +197,9 @@ def bench_config4(results):
     ]
     op = parse("(0 | 1) - 2")
     ev = jax.jit(lambda pts: MaskEvaluator().evaluate(op, shapes, pts))
-    pts = jnp.asarray(pod["pos"]).T
+    from wgpu_3dgs_viewer_app_tpu.data import pod_positions
+
+    pts = jnp.asarray(pod_positions(pod))
     bits = ev(pts)
     float(bits[0:1].sum())  # compile
     t0 = time.perf_counter()

@@ -133,7 +133,9 @@ def test_selection_gesture_and_commit_edit():
     s.toolset.start(QueryToolset.RECT, QuerySelectionOp.SET, (0, 0))
     s.toolset.update_pos((64, 64))
     s.end_selection_gesture()
-    bits = np.asarray(s.viewer.models["m.ply"].buffers.selection)
+    # download_selection trims the device array's padded capacity to the
+    # loaded count, matching download_edits below.
+    bits = s.viewer.models["m.ply"].buffers.download_selection()
     assert bits.sum() > 0
     # live edit then commit
     s.selection.edit = SelectionEdit(alpha=0.5)

@@ -105,22 +105,26 @@ def test_pack_unpack_fidelity(comp):
     import jax.numpy as jnp
 
     g = make_random_scene(64, seed=5)
+    # Rows layout pads the splat axis to the 128-lane width; padded splats
+    # must decode to alpha 0 (never rendered).
     pod = {k: jnp.asarray(v) for k, v in pack_gaussians(g, comp).items()}
     rgb, alpha = unpack_color0(pod)
-    assert rgb.shape == (64, 3) and alpha.shape == (64,)
-    sh = unpack_sh(pod, comp)
-    assert sh.shape == (64, 15, 3)
+    assert rgb.shape == (128, 3) and alpha.shape == (128,)
+    np.testing.assert_array_equal(np.asarray(alpha[64:]), 0)
+    sh = np.asarray(unpack_sh(pod, comp))[:64]
     if comp.sh == ShCompression.SINGLE:
-        np.testing.assert_allclose(np.asarray(sh), g.sh_rest, atol=1e-6)
+        np.testing.assert_allclose(sh, g.sh_rest, atol=1e-6)
     elif comp.sh == ShCompression.HALF:
-        np.testing.assert_allclose(np.asarray(sh), g.sh_rest, atol=2e-3)
+        np.testing.assert_allclose(sh, g.sh_rest, atol=2e-3)
     elif comp.sh == ShCompression.NORM8:
         span = np.ptp(g.sh_rest.reshape(64, -1), axis=1).max()
-        np.testing.assert_allclose(np.asarray(sh), g.sh_rest, atol=span / 255 + 1e-6)
+        np.testing.assert_allclose(sh, g.sh_rest, atol=span / 255 + 1e-6)
     else:
-        np.testing.assert_array_equal(np.asarray(sh), 0)
-    cov = unpack_cov3d(pod)
-    assert cov.shape == (64, 6)
+        np.testing.assert_array_equal(sh, 0)
+    cov = np.asarray(unpack_cov3d(pod))[:64]
+    flat_cov = pack_gaussians(g, comp, layout="flat")["cov3d"].astype(np.float32).T
+    tol = 0 if comp.cov3d.value == "single" else 1e-3
+    np.testing.assert_allclose(cov, flat_cov, atol=tol * max(1.0, abs(flat_cov).max()))
 
 
 def test_bake_edits_hidden_and_alpha():

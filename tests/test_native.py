@@ -27,7 +27,9 @@ needs_native = pytest.mark.skipif(not _build_if_needed(), reason="gsnative not b
 @pytest.mark.parametrize("comp", ALL_COMPRESSIONS, ids=lambda c: f"{c.sh.value}-{c.cov3d.value}")
 def test_native_pack_matches_numpy(comp):
     g = make_random_scene(5000, seed=11)
-    ref = pack_gaussians(g, comp, use_native=False)
+    # The native codec emits the intermediate FLAT layout; pod_rows converts
+    # to the device rows layout afterwards (data/compression.py).
+    ref = pack_gaussians(g, comp, use_native=False, layout="flat")
     out = gsnative.pack_gaussians_native(g, comp)
     assert set(out) == set(ref)
     np.testing.assert_array_equal(out["pos"], ref["pos"])

@@ -126,7 +126,8 @@ def test_selection_edit_changes_selected_only():
     pod = {k: jnp.asarray(v) for k, v in pack_gaussians(scene, comp).items()}
     cam = CameraOrbitControl(target=(0, 0, 0), pos=(0, 0, -4))
     view, proj = jnp.asarray(cam.view()), jnp.asarray(cam.projection(1.0))
-    sel = jnp.zeros(100, jnp.uint8).at[:50].set(1)
+    # Per-splat sidecar arrays share the pod's lane-padded capacity.
+    sel = jnp.zeros(128, jnp.uint8).at[:50].set(1)
     sel_edit = (
         jnp.uint32(EDIT_FLAG_ENABLED | EDIT_FLAG_HIDDEN),
         jnp.asarray([0.0, 1.0, 1.0]),
@@ -148,7 +149,7 @@ def test_highlight_tints_selected():
     pod = {k: jnp.asarray(v) for k, v in pack_gaussians(scene, comp).items()}
     cam = CameraOrbitControl(target=(0, 0, 0), pos=(0, 0, -4))
     view, proj = jnp.asarray(cam.view()), jnp.asarray(cam.projection(1.0))
-    sel = jnp.zeros(50, jnp.uint8).at[0].set(1)
+    sel = jnp.zeros(128, jnp.uint8).at[0].set(1)
     hl = jnp.asarray([1.0, 0.0, 1.0, 0.5])
     pre = preprocess(
         pod, comp, view, proj, jnp.eye(4), 64, 64,

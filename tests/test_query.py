@@ -139,8 +139,8 @@ def test_toolset_texture_brush_gesture():
     assert result is not None
     op, tex = result
     bits = sample_texture_at_centers(pre, tex)
-    merged = combine_selection(jnp.zeros(100, jnp.uint8), bits, op)
-    got = np.asarray(merged)
+    merged = combine_selection(jnp.zeros(bits.shape[0], jnp.uint8), bits, op)
+    got = np.asarray(merged)[: g.count]  # trim the pod's lane padding
     assert got.sum() > 0
     assert (np.abs(g.pos[got.astype(bool), 1]) < 0.2).all()
 

@@ -304,48 +304,14 @@ class SortedEntries:
         return cls(*children)
 
 
-def _f32_to_f16_bits(x: jnp.ndarray) -> jnp.ndarray:
-    """f32 -> IEEE f16 bit pattern held in u32 (low 16 bits).
-
-    Pure u32 bit math: no 16-bit dtypes (u16 converts deadlock the XLA CPU
-    runtime in this environment, and Mosaic prefers 32-bit lanes anyway).
-    Subnormals flush to zero; overflow clamps to f16 max; round-half-up.
-    """
-    b = jax.lax.bitcast_convert_type(x.astype(jnp.float32), jnp.uint32)
-    sign = (b >> jnp.uint32(16)) & jnp.uint32(0x8000)
-    exp = ((b >> jnp.uint32(23)) & jnp.uint32(0xFF)).astype(jnp.int32)
-    mant = b & jnp.uint32(0x7FFFFF)
-    # Round mantissa to 10 bits (half-up), propagating carry into the exponent.
-    mant_r = (mant + jnp.uint32(0x1000)) >> jnp.uint32(13)
-    carry = (mant_r >> jnp.uint32(10)).astype(jnp.int32)
-    mant_h = jnp.where(carry > 0, jnp.uint32(0), mant_r) & jnp.uint32(0x3FF)
-    exp_h = exp - 112 + carry
-    half = sign | (jnp.clip(exp_h, 0, 30).astype(jnp.uint32) << jnp.uint32(10)) | mant_h
-    half = jnp.where(exp_h <= 0, sign, half)          # underflow -> signed 0
-    half = jnp.where(exp_h > 30, sign | jnp.uint32(0x7BFF), half)  # clamp to f16 max
-    return half
-
-
-def _f16_bits_to_f32(h: jnp.ndarray) -> jnp.ndarray:
-    """IEEE f16 bit pattern in u32 -> f32 (subnormals treated as zero)."""
-    sign = (h & jnp.uint32(0x8000)) << jnp.uint32(16)
-    exp = (h >> jnp.uint32(10)) & jnp.uint32(0x1F)
-    mant = h & jnp.uint32(0x3FF)
-    f32bits = sign | ((exp + jnp.uint32(112)) << jnp.uint32(23)) | (mant << jnp.uint32(13))
-    f32bits = jnp.where(exp == 0, sign, f32bits)
-    return jax.lax.bitcast_convert_type(f32bits, jnp.float32)
-
-
-def _pack2xf16(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """Two f32 -> one u32 (a in low 16 bits, b in high)."""
-    return _f32_to_f16_bits(a) | (_f32_to_f16_bits(b) << jnp.uint32(16))
-
-
-def unpack2xf16(w: jnp.ndarray) -> tuple:
-    """One u32 -> two f32 (low, high f16 halves). Used by both compositors."""
-    lo = _f16_bits_to_f32(w & jnp.uint32(0xFFFF))
-    hi = _f16_bits_to_f32(w >> jnp.uint32(16))
-    return lo, hi
+# f16 codec shared with the pod compression layer (core/f16.py); legacy
+# aliases kept for the compositors and tests.
+from ..core.f16 import (  # noqa: E402
+    f16_bits_to_f32 as _f16_bits_to_f32,
+    f32_to_f16_bits as _f32_to_f16_bits,
+    pack2xf16 as _pack2xf16,
+    unpack2xf16,
+)
 
 
 def _enum_cell(d: int, tx0, rw, ty0, rh):

@@ -137,10 +137,10 @@ def preprocess(
     mask_bits/selection_bits: (N,) uint8/bool gates
         (ref mask_buffer / selection_buffer, `src/tab/scene.rs:1848-1851`).
     """
-    pos = pod["pos"]  # (3, N)
+    pos = pod["pos"].reshape(3, -1)  # rows (3, R, 128) -> (3, N_pad)
     n = pos.shape[1]
     color0_rgb, color0_a = unpack_color0(pod)
-    cov6c = cov3d_components(pod)  # six (N,) uniques
+    cov6c = cov3d_components(pod)  # six (N_pad,) uniques
 
     # All fixed-size matrix algebra is component-expanded over (N,) arrays:
     # batched tiny matmuls blow up HBM with tile padding on TPU and round

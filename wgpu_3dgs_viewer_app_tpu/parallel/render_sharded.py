@@ -68,22 +68,22 @@ def _clip_to_slab(pre: PreprocessOut, y0, slab_h: int) -> PreprocessOut:
 
 
 def _pod_spec(v, axis):
-    """Pod arrays carry the splat axis LAST for ndim>=2 (layout hygiene)."""
-    if v.ndim == 1:
-        return P(axis)
-    return P(*([None] * (v.ndim - 1)), axis)
+    """Rows-layout pod arrays carry the splat axis as (R, 128): shard the
+    row dim (-2); the 128-lane dim stays whole on every device."""
+    return P(*([None] * (v.ndim - 2)), axis, None)
 
 
 def shard_pod(pod: dict, mesh: Mesh, axis: str = "splats") -> dict:
-    """Place pod arrays sharded over the splat axis (pad N to device multiple)."""
+    """Place pod arrays sharded over the splat-row axis (pad rows to a
+    device multiple)."""
     n_dev = mesh.shape[axis]
     out = {}
     for k, v in pod.items():
-        n = v.shape[-1]
-        pad = (-n) % n_dev
+        rows = v.shape[-2]
+        pad = (-rows) % n_dev
         if pad:
-            pad_shape = v.shape[:-1] + (pad,)
-            v = jnp.concatenate([v, jnp.zeros(pad_shape, v.dtype)], axis=-1)
+            pad_shape = v.shape[:-2] + (pad, v.shape[-1])
+            v = jnp.concatenate([v, jnp.zeros(pad_shape, v.dtype)], axis=-2)
         out[k] = jax.device_put(v, NamedSharding(mesh, _pod_spec(v, axis)))
     return out
 

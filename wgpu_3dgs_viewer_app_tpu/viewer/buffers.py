@@ -27,29 +27,40 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.edit import make_edit_soa
-from ..data.compression import Compressions, ShCompression, pack_gaussians
+from ..data.compression import (
+    Compressions,
+    ShCompression,
+    flat_pod_to_words,
+    pack_gaussians,
+)
 from ..data.gaussian import Gaussians
 
 
 @functools.partial(jax.jit, donate_argnums=(0,))
 def _update_slice(dst, src, start):
-    """In-place range update along the splat axis (last axis for 2D pod
-    arrays, axis 0 for 1D)."""
+    """In-place range update along the splat axis. Rows-layout pod arrays
+    (..., R, 128) are updated through a flat (..., R*128) view — the two
+    reshapes are per-chunk relayouts on the streaming path only."""
     if dst.ndim == 1:
         return jax.lax.dynamic_update_slice(dst, src, (start,))
-    return jax.lax.dynamic_update_slice(dst, src, (0,) * (dst.ndim - 1) + (start,))
+    shape = dst.shape
+    flat = dst.reshape(shape[:-2] + (-1,))
+    flat = jax.lax.dynamic_update_slice(flat, src, (0,) * (flat.ndim - 1) + (start,))
+    return flat.reshape(shape)
 
 
 class GaussianBuffers:
     """Device-resident splat state for one model, with fixed capacity."""
 
     def __init__(self, capacity: int, comp: Compressions, device=None):
-        self.capacity = int(capacity)
+        # Round up to the lane width: rows-layout pods, and every per-splat
+        # sidecar array (edits/selection/mask), share the padded capacity.
+        self.capacity = -(-max(int(capacity), 1) // 128) * 128
         self.comp = comp
         self.loaded = 0
         n = self.capacity
-        zeros = Gaussians.empty(n)
-        pod_np = pack_gaussians(zeros, comp)
+        zeros = Gaussians.empty(1)
+        pod_np = pack_gaussians(zeros, comp, capacity=n)
         self.pod = {k: jnp.asarray(v) for k, v in pod_np.items()}
         ef, er, ep = make_edit_soa(n)
         self.edit_flags = jnp.asarray(ef)
@@ -63,7 +74,9 @@ class GaussianBuffers:
 
     def update_range(self, start: int, chunk: Gaussians) -> None:
         """Upload a chunk with on-the-fly pod compression (streaming path)."""
-        packed = pack_gaussians(chunk, self.comp)
+        packed = flat_pod_to_words(
+            pack_gaussians(chunk, self.comp, layout="flat"), self.comp
+        )
         for k, v in packed.items():
             self.pod[k] = _update_slice(self.pod[k], jnp.asarray(v), start)
         self.loaded = max(self.loaded, start + chunk.count)
@@ -75,11 +88,19 @@ class GaussianBuffers:
 
     # --- edit / selection / mask state updates -----------------------------
 
+    def _pad_bits(self, bits, fill: int) -> jnp.ndarray:
+        """Bits arrays live at the padded capacity; accept unpadded input."""
+        bits = jnp.asarray(bits).astype(jnp.uint8)
+        short = self.capacity - bits.shape[0]
+        if short > 0:
+            bits = jnp.concatenate([bits, jnp.full(short, fill, jnp.uint8)])
+        return bits
+
     def set_selection(self, bits: np.ndarray) -> None:
-        self.selection = jnp.asarray(bits.astype(np.uint8))
+        self.selection = self._pad_bits(bits, 0)
 
     def set_mask(self, bits: np.ndarray) -> None:
-        self.mask = jnp.asarray(bits.astype(np.uint8))
+        self.mask = self._pad_bits(bits, 1)
 
     def set_edits(self, flags, rgb, params) -> None:
         self.edit_flags = jnp.asarray(flags)
