@@ -45,20 +45,25 @@ def build(n, w, h, sh_degree, display_mode, tile=32, max_dup=4, seed=0):
 def frame_fn(comp, cfg, sh_degree, display_mode, use_pallas):
     from wgpu_3dgs_viewer_app_tpu.ops import (
         build_sorted_entries,
+        build_sorted_entries_fused,
         composite_tiles_jnp_v2,
         composite_tiles_pallas_v2,
         preprocess,
     )
 
     def step(pod, view, proj):
+        flat = display_mode != 0
+        if use_pallas:
+            entries = build_sorted_entries_fused(
+                pod, comp, cfg, view, proj, jnp.eye(4),
+                sh_degree=sh_degree, display_mode=display_mode,
+            )
+            return composite_tiles_pallas_v2(entries, cfg, flat_mode=flat)
         pre = preprocess(
             pod, comp, view, proj, jnp.eye(4), cfg.width, cfg.height,
             sh_degree=sh_degree, display_mode=display_mode,
         )
         entries = build_sorted_entries(pre, cfg)
-        flat = display_mode != 0
-        if use_pallas:
-            return composite_tiles_pallas_v2(entries, cfg, flat_mode=flat)
         return composite_tiles_jnp_v2(entries, cfg, flat_mode=flat)
 
     return step
@@ -109,9 +114,10 @@ def bench_config2(results):
         )
         # Per-model color edit: hue shift + saturation scale on every splat.
         n = m.buffers.edit_flags.shape[0]
-        m.buffers.edit_flags = jnp.full(n, EDIT_FLAG_ENABLED, jnp.uint32)
-        m.buffers.edit_rgb = jnp.broadcast_to(
-            jnp.asarray([0.08 * i, 1.1, 1.0], jnp.float32), (n, 3)
+        m.buffers.set_edits(
+            jnp.full(n, EDIT_FLAG_ENABLED, jnp.uint32),
+            jnp.broadcast_to(jnp.asarray([0.08 * i, 1.1, 1.0], jnp.float32), (n, 3)),
+            m.buffers.edit_params,
         )
     cam = CameraOrbitControl(target=(0, 0, 0), pos=(0, 0, -7))
     viewer.update_camera(cam)

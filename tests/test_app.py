@@ -94,12 +94,12 @@ def test_mask_evaluate_via_opcode():
     s.mask.add_shape(shape)
     s.mask.op_code = "0"
     s.evaluate_mask(s.mask.parse_op())
-    bits = np.asarray(s.viewer.models["m.ply"].buffers.mask)
+    bits = s.viewer.models["m.ply"].buffers.download_mask()  # trims lane padding
     inside = np.all(np.abs(g.pos) <= 0.5, axis=1)
     np.testing.assert_array_equal(bits.astype(bool), inside)
     # Reset restores everything.
     s.evaluate_mask(None)
-    assert np.asarray(s.viewer.models["m.ply"].buffers.mask).all()
+    assert s.viewer.models["m.ply"].buffers.download_mask().all()
 
 
 def test_measurement_locate_hit_and_distance():

@@ -260,3 +260,42 @@ def test_enum_pallas_interpret_matches_jnp():
     img_a = composite_tiles_jnp_v2(a, cfg)
     img_b = composite_tiles_jnp_v2(b, cfg)
     np.testing.assert_allclose(np.asarray(img_a), np.asarray(img_b), atol=1e-6)
+
+
+def test_fused_kernel_matches_two_stage():
+    from wgpu_3dgs_viewer_app_tpu.ops import (
+        build_sorted_entries,
+        build_sorted_entries_fused,
+        composite_tiles_jnp_v2,
+    )
+
+    for comp, deg, mode in (
+        (FULL, 3, 0),
+        (Compressions(), 3, 0),          # norm8 + half (defaults)
+        (Compressions(ShCompression.HALF, Cov3dCompression.HALF), 2, 0),
+        (Compressions(ShCompression.REMOVE, Cov3dCompression.SINGLE), 0, 1),
+    ):
+        scene = make_random_scene(700, seed=9, extent=1.2, scale_range=(0.01, 0.05))
+        pod = {k: jnp.asarray(v) for k, v in pack_gaussians(scene, comp).items()}
+        cam = CameraOrbitControl(target=(0, 0, 0), pos=(0, 0, -4))
+        view, proj = jnp.asarray(cam.view()), jnp.asarray(cam.projection(1.0))
+        cfg = TileConfig(128, 128, tile=16, max_dup=8)
+        pre = preprocess(
+            pod, comp, view, proj, jnp.eye(4), 128, 128,
+            sh_degree=deg, display_mode=mode,
+        )
+        a = build_sorted_entries(pre, cfg, impl="jnp")
+        b = build_sorted_entries_fused(
+            pod, comp, cfg, view, proj, jnp.eye(4),
+            sh_degree=deg, display_mode=mode, interpret=True,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(a.tile_counts), np.asarray(b.tile_counts)
+        )
+        flat = mode != 0
+        img_a = composite_tiles_jnp_v2(a, cfg, flat_mode=flat)
+        img_b = composite_tiles_jnp_v2(b, cfg, flat_mode=flat)
+        np.testing.assert_allclose(
+            np.asarray(img_a), np.asarray(img_b), atol=1e-5,
+            err_msg=f"comp={comp} deg={deg} mode={mode}",
+        )

@@ -263,7 +263,7 @@ class GaussianSplattingSession:
             bits = self.mask_evaluator.evaluate(
                 op, pods, jnp.asarray(model.gaussians.pos), model.transform
             )
-            model.buffers.mask = bits
+            model.buffers.set_mask(bits)
 
     # --- selection / queries ----------------------------------------------
 
@@ -311,7 +311,7 @@ class GaussianSplattingSession:
         bits = m.buffers.selection
         for pod in pods:
             bits = apply_query_pod(pre, bits, pod)
-        m.buffers.selection = bits
+        m.buffers.set_selection(bits)
 
     def end_selection_gesture(self) -> None:
         """Texture-mode resolve on gesture end (ref `src/tab/scene.rs:787-792`)."""
@@ -325,7 +325,7 @@ class GaussianSplattingSession:
         if m is None or pre is None:
             return
         new_bits = sample_texture_at_centers(pre, texture)
-        m.buffers.selection = combine_selection(m.buffers.selection, new_bits, op)
+        m.buffers.set_selection(combine_selection(m.buffers.selection, new_bits, op))
 
     def locate_hit(self, pixel, pair_idx: int, hit_idx: int) -> bool:
         """Measurement click -> device hit query -> hit pair position

@@ -7,6 +7,7 @@ from .binning import (
     build_sorted_entries,
     build_tile_lists,
 )
+from .fused import build_sorted_entries_fused
 from .composite import (
     composite_tiles,
     composite_tiles_jnp,
@@ -22,6 +23,7 @@ __all__ = [
     "EntryPlanes",
     "SortedEntries",
     "build_sorted_entries",
+    "build_sorted_entries_fused",
     "composite_tiles_jnp_v2",
     "composite_tiles_pallas_v2",
     "TileConfig",

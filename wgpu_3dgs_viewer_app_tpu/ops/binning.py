@@ -98,6 +98,30 @@ class TileLists:
         return cls(*children)
 
 
+# Fixed log-depth quantization range: [0.05, 2e4] covers any sane scene and
+# keeps the key mapping frame-independent (a per-frame dmin/dmax fit would
+# requantize — and so reorder ties — every time the camera moves). At 13
+# depth bits that is ~635 key steps per e-fold of depth.
+DEPTH_LN_MIN = -3.0  # ln(0.05)
+DEPTH_LN_MAX = 9.905  # ln(2e4)
+
+
+def depth_alpha_key_lo(depth, alpha, cfg: "TileConfig") -> jnp.ndarray:
+    """Low key bits: log-depth quantized over the fixed range | alpha u8."""
+    db = cfg.v2_depth_bits
+    ld = jnp.log(jnp.maximum(depth, 1e-6))
+    scale = float(2**db - 1) / (DEPTH_LN_MAX - DEPTH_LN_MIN)
+    dkey = (
+        jnp.clip((ld - DEPTH_LN_MIN) * scale, 0.0, float(2**db - 1))
+        .astype(jnp.int32)
+        .astype(jnp.uint32)
+    )
+    alpha_u8 = (
+        jnp.clip(alpha * 255.0 + 0.5, 0.0, 255.0).astype(jnp.int32).astype(jnp.uint32)
+    )
+    return (dkey << jnp.uint32(cfg.ALPHA_BITS)) | alpha_u8
+
+
 def depth_key_bits(depth: jnp.ndarray, depth_bits: int) -> jnp.ndarray:
     """Positive-f32 depth -> monotonic top `depth_bits` integer key (u32)."""
     bits = jax.lax.bitcast_convert_type(jnp.maximum(depth, 0.0), jnp.uint32)
@@ -276,6 +300,8 @@ def build_entry_planes(pre: PreprocessOut, lists: TileLists, cfg: TileConfig) ->
 N_PACKED_PLANES = 4
 MEAN_FIX_SCALE = 16.0   # 1/16-px fixed point for tile-relative means
 MEAN_FIX_BIAS = 128.0
+
+
 
 
 @jax.tree_util.register_pytree_node_class
@@ -487,23 +513,9 @@ def build_sorted_entries(
     "auto" (pallas on TPU else jnp).
     """
     x, y = pre.mean_x, pre.mean_y
-    db = cfg.v2_depth_bits
 
     # --- per-splat precursors (N,) — fuse with whatever produced `pre` ---
-    # Log-depth quantized to the frame's occupied range: uniform ordering
-    # resolution over [dmin, dmax] (raw f32-bit slicing wastes key bits on
-    # the unoccupied exponent range).
-    ld = jnp.log(jnp.maximum(pre.depth, 1e-6))
-    big = jnp.float32(3.4e38)
-    ld_min = jnp.min(jnp.where(pre.valid, ld, big))
-    ld_max = jnp.max(jnp.where(pre.valid, ld, -big))
-    ld_min = jnp.minimum(ld_min, ld_max)  # no-valid-splat guard
-    span = jnp.maximum(ld_max - ld_min, 1e-12)
-    dkey = jnp.clip(
-        (ld - ld_min) / span * float(2**db - 1), 0.0, float(2**db - 1)
-    ).astype(jnp.uint32)
-    alpha_u8 = jnp.clip(pre.alpha * 255.0 + 0.5, 0.0, 255.0).astype(jnp.uint32)
-    key_lo = (dkey << jnp.uint32(cfg.ALPHA_BITS)) | alpha_u8
+    key_lo = depth_alpha_key_lo(pre.depth, pre.alpha, cfg)
     r8 = jnp.clip(pre.col_r * 255.0 + 0.5, 0, 255).astype(jnp.uint32)
     g8 = jnp.clip(pre.col_g * 255.0 + 0.5, 0, 255).astype(jnp.uint32)
     b8 = jnp.clip(pre.col_b * 255.0 + 0.5, 0, 255).astype(jnp.uint32)
@@ -525,14 +537,20 @@ def build_sorted_entries(
 
     sk, s1, s2, s3 = jax.lax.sort((keys, p1, p2, p3), num_keys=1, is_stable=False)
 
+    return _sorted_entries_from_sorted(sk, s1, s2, s3, cfg)
+
+
+def _sorted_entries_from_sorted(sk, s1, s2, s3, cfg: TileConfig) -> SortedEntries:
+    """Shared tail: per-tile ranges + interleaved plane packing."""
     boundaries = (
-        jnp.arange(cfg.n_tiles + 1, dtype=jnp.uint32) << jnp.uint32(db + cfg.ALPHA_BITS)
+        jnp.arange(cfg.n_tiles + 1, dtype=jnp.uint32)
+        << jnp.uint32(cfg.v2_depth_bits + cfg.ALPHA_BITS)
     )
     edges = jnp.searchsorted(sk, boundaries, side="left").astype(jnp.int32)
     tile_starts = edges[:-1]
     tile_counts = edges[1:] - edges[:-1]
 
-    e = keys.shape[0]
+    e = sk.shape[0]
     pad = (-e) % ROW
 
     def rows(pl):

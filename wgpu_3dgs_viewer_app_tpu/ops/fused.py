@@ -1,0 +1,354 @@
+"""Fully fused Pallas render front-end: pod -> sorted packed entries.
+
+One kernel performs, per splat block, everything the crate's WGSL
+`Preprocessor` pass does on the plain render path (reference
+`src/tab/scene.rs:856-863`) PLUS tile enumeration and payload packing:
+
+    decode pod (u32-word f16/u8 fields) -> model/view transform -> EWA conic
+    -> SH->RGB -> opacity-aware extent -> cull -> center-out tile cells ->
+    sort keys + packed payload planes
+
+replacing the XLA preprocess (~22 ms of fragmented small fusions at 6M
+splats) and the separate enumeration kernel with a single pass over the pod
+(BASELINE.md north star: "the WGSL preprocess pass becomes one fused Pallas
+kernel"). The gated paths (per-splat edits, selection edits/highlight, mask
+bits, traced `size`) still run through ops/preprocess.py + ops/binning.py —
+editing UIs tolerate milliseconds; the plain orbit/fly render path is the
+hot loop.
+
+The kernel reads the TPU row pod layout (data/compression.py) natively:
+every field block is (k, Rb, 128) full tiles.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core.covariance import (
+    cov2d_to_conic_radius,
+    project_cov3d_to_cov2d,
+    transform_cov6_t,
+)
+from ..core.f16 import unpack2xf16
+from ..core.sh import eval_sh_rest_channels
+from ..data.compression import Compressions, Cov3dCompression, ShCompression
+from .binning import (
+    ROW,
+    SortedEntries,
+    TileConfig,
+    _entry_planes_for_cell,
+    _sorted_entries_from_sorted,
+    _splat_rect,
+    depth_alpha_key_lo,
+)
+from .preprocess import ALPHA_EPS
+
+ROWS_PER_BLOCK = 128  # 16k splats per grid step; 256 rows OOMs the 16 MB VMEM
+# stack at norm8-SH shapes (measured 16.13 MB with double-buffered pipelining
+# + ~50 live (Rb, 128) f32 temporaries)
+
+
+class _Mat:
+    """Adapter so the component-form covariance helpers (which index
+    `m[i, j]` on a (3, 3) array) can run on SMEM scalars inside the kernel."""
+
+    def __init__(self, rows):
+        self.rows = rows
+
+    def __getitem__(self, ij):
+        if isinstance(ij, tuple):
+            i, j = ij
+            return self.rows[i][j]
+        return self.rows[ij]
+
+
+def _u8_unit_k(w, shift):
+    return ((w >> jnp.uint32(shift)) & jnp.uint32(0xFF)).astype(jnp.int32).astype(
+        jnp.float32
+    ) * jnp.float32(1.0 / 255.0)
+
+
+def _make_coeff_fn(comp: Compressions, sh_ref, mn, scale):
+    """(k, c) -> (Rb, 128) f32 SH-rest coefficient from the rows pod field."""
+    if comp.sh == ShCompression.REMOVE:
+        return lambda k, c: 0.0 * mn  # mn is a zeros array in this case
+    if comp.sh == ShCompression.NORM8:
+
+        def coeff(k, c):
+            i = k * 3 + c
+            w = sh_ref[i // 4]
+            q = (w >> jnp.uint32(8 * (i % 4))) & jnp.uint32(0xFF)
+            return q.astype(jnp.int32).astype(jnp.float32) * scale + mn
+
+        return coeff
+    if comp.sh == ShCompression.HALF:
+        from ..core.f16 import f16_bits_to_f32
+
+        def coeff(k, c):
+            i = k * 3 + c
+            w = sh_ref[i // 2]
+            return f16_bits_to_f32((w >> jnp.uint32(16 * (i % 2))) & jnp.uint32(0xFFFF))
+
+        return coeff
+
+    def coeff(k, c):
+        return sh_ref[k * 3 + c]
+
+    return coeff
+
+
+def _kernel(
+    params_ref,  # (32,) f32 SMEM
+    pos_ref,     # (3, Rb, 128) f32
+    color0_ref,  # (Rb, 128) u32
+    cov_ref,     # (6|3, Rb, 128)
+    *rest,       # [sh_ref, [mn_ref, span_ref]] then outputs
+    comp: Compressions,
+    cfg: TileConfig,
+    sh_degree: int,
+    no_sh0: bool,
+    display_mode: int,
+):
+    refs = list(rest)
+    sh_ref = refs.pop(0) if comp.sh != ShCompression.REMOVE else None
+    if comp.sh == ShCompression.NORM8:
+        mn_ref = refs.pop(0)
+        span_ref = refs.pop(0)
+    keys_ref, p1_ref, p2_ref, p3_ref = refs
+
+    p = params_ref
+    m3 = _Mat(((p[0], p[1], p[2]), (p[3], p[4], p[5]), (p[6], p[7], p[8])))
+    mt = (p[9], p[10], p[11])
+    v3 = _Mat(((p[12], p[13], p[14]), (p[15], p[16], p[17]), (p[18], p[19], p[20])))
+    vt = (p[21], p[22], p[23])
+    fx, fy, tanx, tany = p[24], p[25], p[26], p[27]
+    width, height = p[28], p[29]
+    size2 = p[30]
+    size = p[31]
+    cam = (p[32], p[33], p[34])
+    z_near, z_far = p[35], p[36]
+
+    px_, py_, pz_ = pos_ref[0], pos_ref[1], pos_ref[2]  # (Rb, 128)
+
+    # --- decode color0 / cov3d ---
+    c0 = color0_ref[...]
+    c0r = (_u8_unit_k(c0, 0), _u8_unit_k(c0, 8), _u8_unit_k(c0, 16))
+    alpha = _u8_unit_k(c0, 24)
+    if comp.cov3d == Cov3dCompression.SINGLE:
+        cov6c = tuple(cov_ref[i] for i in range(6))
+    else:
+        parts = []
+        for j in range(3):
+            lo, hi = unpack2xf16(cov_ref[j])
+            parts += [lo, hi]
+        cov6c = tuple(parts)
+
+    # --- model transform ---
+    def affine(m, t, x, y, z):
+        return (
+            m[0, 0] * x + m[0, 1] * y + m[0, 2] * z + t[0],
+            m[1, 0] * x + m[1, 1] * y + m[1, 2] * z + t[1],
+            m[2, 0] * x + m[2, 1] * y + m[2, 2] * z + t[2],
+        )
+
+    wx, wy, wz = affine(m3, mt, px_, py_, pz_)
+    cov6_w = tuple(c * size2 for c in transform_cov6_t(cov6c, m3))
+
+    # --- view transform + projection ---
+    tvx, tvy, tvz = affine(v3, vt, wx, wy, wz)
+    depth = -tvz
+    d = jnp.maximum(depth, 1e-6)
+    sx = (fx * 2.0) / width   # proj[0,0]
+    sy = (fy * 2.0) / height  # proj[1,1]
+    px = (sx * tvx / d * 0.5 + 0.5) * width
+    py = (0.5 - sy * tvy / d * 0.5) * height
+
+    cov2d = project_cov3d_to_cov2d(
+        cov6_w, (tvx, tvy, tvz), v3, (fx, fy), (tanx, tany)
+    )
+    (ca, cb, cc), radius, det_ok = cov2d_to_conic_radius(cov2d)
+    if display_mode == 2:
+        r_pt = jnp.maximum(2.0 * size, 1.0)
+        radius = jnp.broadcast_to(r_pt, px.shape)
+        inv = 4.0 / (r_pt * r_pt)
+        ca = jnp.broadcast_to(inv, px.shape)
+        cb = jnp.zeros_like(px)
+        cc = ca
+
+    # --- SH -> RGB ---
+    if sh_degree >= 1 and comp.sh != ShCompression.REMOVE:
+        dx = wx - cam[0]
+        dy = wy - cam[1]
+        dz = wz - cam[2]
+        inv_n = jax.lax.rsqrt(jnp.maximum(dx * dx + dy * dy + dz * dz, 1e-18))
+        if comp.sh == ShCompression.NORM8:
+            coeff = _make_coeff_fn(
+                comp, sh_ref, mn_ref[...], span_ref[...] * jnp.float32(1.0 / 255.0)
+            )
+        else:
+            coeff = _make_coeff_fn(comp, sh_ref, None, None)
+        dr, dg, db_ = eval_sh_rest_channels(
+            coeff, dx * inv_n, dy * inv_n, dz * inv_n, sh_degree
+        )
+        base = c0r if not no_sh0 else (0.5, 0.5, 0.5)
+        col = (dr + base[0], dg + base[1], db_ + base[2])
+    else:
+        col = c0r if not no_sh0 else tuple(jnp.full_like(c, 0.5) for c in c0r)
+    col_r, col_g, col_b = (jnp.clip(c, 0.0, 1.0) for c in col)
+
+    # --- opacity-aware extent (ops/preprocess.py semantics) ---
+    if display_mode == 0:
+        cut = jnp.sqrt(2.0 * jnp.maximum(jnp.log(alpha * (1.0 / ALPHA_EPS)), 0.0))
+        radius = radius * (cut * (1.0 / 3.0))
+    elif display_mode == 1:
+        radius = radius * (2.0 / 3.0)
+
+    on_screen = (
+        (px + radius > 0) & (px - radius < width) & (py + radius > 0) & (py - radius < height)
+    )
+    valid = (
+        det_ok
+        & (depth > z_near)
+        & (depth < z_far)
+        & on_screen
+        & (alpha > ALPHA_EPS)
+        & (radius > 0)
+    )
+
+    # --- enumeration precursors (ops/binning.py semantics) ---
+    key_lo = depth_alpha_key_lo(depth, alpha, cfg)
+    r8 = jnp.clip(col_r * 255.0 + 0.5, 0, 255).astype(jnp.int32).astype(jnp.uint32)
+    g8 = jnp.clip(col_g * 255.0 + 0.5, 0, 255).astype(jnp.int32).astype(jnp.uint32)
+    b8 = jnp.clip(col_b * 255.0 + 0.5, 0, 255).astype(jnp.int32).astype(jnp.uint32)
+    p1_base = b8 << jnp.uint32(24)
+    from ..core.f16 import f32_to_f16_bits, pack2xf16
+
+    p2s = pack2xf16(ca, cb)
+    p3s = f32_to_f16_bits(cc) | (r8 << jnp.uint32(16)) | (g8 << jnp.uint32(24))
+    r2s = jnp.where(valid, radius * radius, -1.0)
+
+    tx0, rw, ty0, rh, n_touched = _splat_rect(px, py, radius, cfg)
+    for dcell in range(cfg.max_dup):
+        key_d, p1_d = _entry_planes_for_cell(
+            dcell, px, py, r2s, key_lo, p1_base, tx0, rw, ty0, rh, n_touched, cfg
+        )
+        keys_ref[:, dcell, :] = key_d
+        p1_ref[:, dcell, :] = p1_d
+        p2_ref[:, dcell, :] = p2s
+        p3_ref[:, dcell, :] = p3s
+
+
+def _frame_params(view, proj, model, width, height, size):
+    """Pack the per-frame scalars the kernel needs into one (40,) f32."""
+    view = jnp.asarray(view, jnp.float32)
+    proj = jnp.asarray(proj, jnp.float32)
+    model = jnp.asarray(model, jnp.float32)
+    size = jnp.asarray(size, jnp.float32)
+    m3 = model[:3, :3].reshape(-1)
+    v3 = view[:3, :3].reshape(-1)
+    r = view[:3, :3]
+    cam = -r.T @ view[:3, 3]
+    fx = 0.5 * width * proj[0, 0]
+    fy = 0.5 * height * proj[1, 1]
+    parts = [
+        m3,
+        model[:3, 3],
+        v3,
+        view[:3, 3],
+        jnp.stack(
+            [
+                fx,
+                fy,
+                1.0 / proj[0, 0],
+                1.0 / proj[1, 1],
+                jnp.float32(width),
+                jnp.float32(height),
+                size * size,
+                size,
+            ]
+        ),
+        cam,
+        jnp.asarray([0.1, 1e4], jnp.float32),  # z_near/z_far defaults
+    ]
+    out = jnp.concatenate(parts)
+    return jnp.concatenate([out, jnp.zeros(40 - out.shape[0], jnp.float32)])
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("comp", "cfg", "sh_degree", "no_sh0", "display_mode", "interpret"),
+)
+def build_sorted_entries_fused(
+    pod: dict,
+    comp: Compressions,
+    cfg: TileConfig,
+    view: jnp.ndarray,
+    proj: jnp.ndarray,
+    model: jnp.ndarray,
+    sh_degree: int = 3,
+    no_sh0: bool = False,
+    size=1.0,
+    display_mode: int = 0,
+    interpret: bool = False,
+) -> SortedEntries:
+    """pod -> SortedEntries via the fused kernel + lax.sort tail."""
+    params = _frame_params(view, proj, model, cfg.width, cfg.height, size)
+
+    pos = pod["pos"]
+    rows_total = pos.shape[-2]
+    rb = min(ROWS_PER_BLOCK, rows_total)
+    pad_rows = (-rows_total) % rb
+
+    def padr(a):
+        if pad_rows:
+            shape = a.shape[:-2] + (pad_rows, a.shape[-1])
+            a = jnp.concatenate([a, jnp.zeros(shape, a.dtype)], axis=-2)
+        return a
+
+    ins = [padr(pod["pos"]), padr(pod["color0"]), padr(pod["cov3d"])]
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec((3, rb, ROW), lambda i: (0, i, 0)),
+        pl.BlockSpec((rb, ROW), lambda i: (i, 0)),
+        pl.BlockSpec((pod["cov3d"].shape[0], rb, ROW), lambda i: (0, i, 0)),
+    ]
+    if comp.sh != ShCompression.REMOVE:
+        ins.append(padr(pod["sh"]))
+        in_specs.append(pl.BlockSpec((pod["sh"].shape[0], rb, ROW), lambda i: (0, i, 0)))
+    if comp.sh == ShCompression.NORM8:
+        ins += [padr(pod["sh_mn"]), padr(pod["sh_span"])]
+        in_specs += [pl.BlockSpec((rb, ROW), lambda i: (i, 0))] * 2
+
+    rows_padded = rows_total + pad_rows
+    d = cfg.max_dup
+    out_spec = pl.BlockSpec((rb, d, ROW), lambda i: (i, 0, 0))
+    out_shape = jax.ShapeDtypeStruct((rows_padded, d, ROW), jnp.uint32)
+
+    kernel = functools.partial(
+        _kernel,
+        comp=comp,
+        cfg=cfg,
+        sh_degree=sh_degree,
+        no_sh0=no_sh0,
+        display_mode=display_mode,
+    )
+    keys, p1, p2, p3 = pl.pallas_call(
+        kernel,
+        grid=(rows_padded // rb,),
+        in_specs=in_specs,
+        out_specs=[out_spec] * 4,
+        out_shape=[out_shape] * 4,
+        interpret=interpret,
+    )(params, *ins)
+
+    sk, s1, s2, s3 = jax.lax.sort(
+        (keys.reshape(-1), p1.reshape(-1), p2.reshape(-1), p3.reshape(-1)),
+        num_keys=1,
+        is_stable=False,
+    )
+    return _sorted_entries_from_sorted(sk, s1, s2, s3, cfg)

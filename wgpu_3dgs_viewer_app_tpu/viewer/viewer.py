@@ -30,6 +30,7 @@ from ..core.transform import GaussianDisplayMode, GaussianTransform, ModelTransf
 from ..data.compression import Compressions
 from ..data.gaussian import Gaussians
 from ..ops.binning import TileConfig, build_sorted_entries
+from ..ops.fused import build_sorted_entries_fused
 from ..ops.composite import (
     composite_tiles_jnp_v2,
     composite_tiles_pallas_v2,
@@ -226,6 +227,28 @@ class MultiModelViewer:
         """One model -> (H, W, 4) premultiplied rgba."""
         m = self.models[key]
         gt = self.gaussian_transform
+        # Plain render (no edits / selection / mask ever applied, highlight
+        # off): one fused Pallas pass over the pod (ops/fused.py).
+        gates_idle = not (
+            m.buffers.edits_active
+            or m.buffers.mask_active
+            or (m.buffers.selection_active and (self.selection_edit or self.show_highlight))
+        )
+        if self.use_pallas and gates_idle:
+            entries = build_sorted_entries_fused(
+                m.buffers.pod,
+                self.comp,
+                self.cfg,
+                self._view,
+                self._proj,
+                jnp.asarray(m.transform.matrix()),
+                sh_degree=gt.sh_deg.degree,
+                no_sh0=gt.no_sh0,
+                size=jnp.float32(gt.size),
+                display_mode=int(gt.display_mode),
+            )
+            flat = int(gt.display_mode) != 0
+            return composite_tiles_pallas_v2(entries, self.cfg, flat_mode=flat)
         sel_edit = None
         if self.selection_edit is not None and not show_unedited:
             f, rgb, params = self.selection_edit.as_arrays()
