@@ -1,0 +1,77 @@
+"""Pallas merge sort (ops/sort.py) vs lax.sort — interpret mode on CPU.
+
+The sort is the TPU replacement for the crate's GPU radix sorter
+(reference `src/tab/scene.rs:865-869`); contract: ascending keys, payloads
+travel with their key, sentinel-slot payloads unspecified (never read).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from wgpu_3dgs_viewer_app_tpu.ops.sort import BLOCK, block_sort, merge_sort
+
+SENT = 0xFFFFFFFF
+
+
+def _mk(e, frac_sentinel, span, seed=0):
+    rng = np.random.default_rng(seed)
+    k = rng.integers(0, span, e, dtype=np.uint32)
+    k[rng.random(e) < frac_sentinel] = SENT
+    p1 = np.arange(e, dtype=np.uint32)  # unique id payload
+    p2 = rng.integers(0, 2**32, e, dtype=np.uint32)
+    p3 = rng.integers(0, 2**32, e, dtype=np.uint32)
+    return k, p1, p2, p3
+
+
+def _check(k, p1, p2, p3, ks, s1, s2, s3):
+    """Contract: live prefix sorted ascending with payloads attached; the
+    tail (including any pad beyond len(k) — the Pallas path returns padded
+    arrays) is all sentinel keys with unspecified payloads."""
+    ks, s1, s2, s3 = (np.asarray(a).ravel() for a in (ks, s1, s2, s3))
+    assert ks.shape[0] >= k.shape[0]
+    nlive = int((k != SENT).sum())
+    live = k != SENT
+    assert np.array_equal(np.sort(k[live]), ks[:nlive]), "live keys not sorted"
+    assert np.all(ks[nlive:] == SENT), "tail not sentinel"
+    want = sorted(zip(k[live].tolist(), p1[live].tolist()))
+    got = sorted(zip(ks[:nlive].tolist(), s1[:nlive].tolist()))
+    assert want == got, "key/payload pairing broken"
+    perm = s1[:nlive]
+    assert np.array_equal(p2[perm], s2[:nlive])
+    assert np.array_equal(p3[perm], s3[:nlive])
+
+
+@pytest.mark.parametrize("frac", [0.0, 0.44])
+def test_block_sort_interpret(frac):
+    k, p1, p2, p3 = _mk(2 * BLOCK, frac, 1 << 20)
+    ks, s1, s2, s3 = block_sort(*(jnp.asarray(a) for a in (k, p1, p2, p3)),
+                                interpret=True)[:4]
+    ks, s1 = np.asarray(ks).ravel(), np.asarray(s1).ravel()
+    for b, sign in ((0, 1), (1, -1)):  # blocks alternate asc / desc
+        sl = slice(b * BLOCK, (b + 1) * BLOCK)
+        want = np.sort(k[sl])[::sign]
+        assert np.array_equal(want, ks[sl]), f"block {b} order wrong"
+        pairs_w = sorted(zip(k[sl].tolist(), p1[sl].tolist()))
+        pairs_g = sorted(zip(ks[sl].tolist(), s1[sl].tolist()))
+        assert pairs_w == pairs_g
+
+
+@pytest.mark.parametrize("e,frac,span", [
+    (BLOCK, 0.3, 1 << 32),       # single block
+    (4 * BLOCK, 0.44, 1 << 16),  # duplicate keys across blocks
+    (16 * BLOCK, 0.5, 1 << 32),  # exercises split merge levels
+])
+def test_merge_sort_interpret(e, frac, span):
+    k, p1, p2, p3 = _mk(e, frac, span)
+    outs = merge_sort(*(jnp.asarray(a) for a in (k, p1, p2, p3)), interpret=True)
+    _check(k, p1, p2, p3, *outs)
+
+
+def test_merge_sort_all_sentinel():
+    e = 4 * BLOCK
+    k = np.full(e, SENT, np.uint32)
+    p = np.arange(e, dtype=np.uint32)
+    ks = np.asarray(merge_sort(*(jnp.asarray(a) for a in (k, p, p, p)),
+                               interpret=True)[0])
+    assert np.all(ks == SENT)

@@ -535,7 +535,9 @@ def build_sorted_entries(
         x, y, pre.radius, r2s, key_lo, p1_base, p2s, p3s, cfg, impl
     )
 
-    sk, s1, s2, s3 = jax.lax.sort((keys, p1, p2, p3), num_keys=1, is_stable=False)
+    from .sort import sort_entries
+
+    sk, s1, s2, s3 = sort_entries(keys, p1, p2, p3)
 
     return _sorted_entries_from_sorted(sk, s1, s2, s3, cfg)
 

@@ -346,9 +346,9 @@ def build_sorted_entries_fused(
         interpret=interpret,
     )(params, *ins)
 
-    sk, s1, s2, s3 = jax.lax.sort(
-        (keys.reshape(-1), p1.reshape(-1), p2.reshape(-1), p3.reshape(-1)),
-        num_keys=1,
-        is_stable=False,
+    from .sort import sort_entries
+
+    sk, s1, s2, s3 = sort_entries(
+        keys.reshape(-1), p1.reshape(-1), p2.reshape(-1), p3.reshape(-1)
     )
     return _sorted_entries_from_sorted(sk, s1, s2, s3, cfg)

@@ -1,0 +1,566 @@
+"""Pallas merge sort over packed entry planes — the TPU-native replacement for
+the engine crate's GPU radix sorter (reference `src/tab/scene.rs:865-869`).
+
+`jax.lax.sort` with one u32 key + three u32 payload planes costs ~115 ms at
+E = 24M on v5e (~24 ms per operand; PERF_NOTES.md). A GPU radix sort does not
+port — Mosaic has no per-lane scatter, even in VMEM — so this is a
+comparison sort shaped to the VPU:
+
+  Phase 1  `block_sort`: bitonic sort of BLOCK-entry tiles entirely in VMEM.
+           All compare-exchange stages are whole-array ops: partner values
+           come from lane/sublane rolls + iota masks (no gathers anywhere).
+  Phase 2  `merge_level` × ceil(log2(E/BLOCK)): pairwise merge of sorted
+           runs, split into independent CHUNK-entry cells by merge-path
+           rank splitting (binary search over run pairs, vectorized in XLA
+           between kernel launches). Each cell DMAs its two ragged pieces
+           at row granularity, realigns them in VMEM with dynamic rolls,
+           concatenates [A ascending | B reversed] into a bitonic sequence,
+           and runs the log2(CHUNK)-stage bitonic merge.
+
+Sentinel skipping: dead entries (key 0xFFFFFFFF — culled duplicate slots,
+~44% of E at the 6M bench scene) sink to every run's tail after phase 1.
+Merge cells whose output chunk lies entirely in the sentinel tail skip the
+DMA-in and the merge compute and just store the sentinel constant.
+
+Entry order produced is identical to `lax.sort(..., is_stable=False)` up to
+payload order within equal keys (keys here are unique per (tile, depth,
+alpha) only — ties blend order-independently in the compositor).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+SENTINEL = 0xFFFFFFFF  # python int: jnp scalars cannot be captured by kernels
+
+# Phase-1 block: 128 rows x 128 lanes = 16384 entries (105 stages). Bigger
+# blocks trade phase-1 stages for one fewer merge level; 128 measured best
+# (64: 98 ms, 128/256: 91 ms at E=24M, 44% sentinels).
+BLOCK_ROWS = 128
+BLOCK = BLOCK_ROWS * LANES
+
+
+def _roll_lane(x, s):
+    return pltpu.roll(x, shift=s % x.shape[1], axis=1)
+
+
+def _roll_row(x, s):
+    return pltpu.roll(x, shift=s % x.shape[0], axis=0)
+
+
+def _to_ord(k_u32):
+    """u32 key -> order-preserving i32 (the VPU has no unsigned min/max)."""
+    return jax.lax.bitcast_convert_type(k_u32 ^ jnp.uint32(0x80000000), jnp.int32)
+
+
+def _from_ord(k_i32):
+    return jax.lax.bitcast_convert_type(k_i32, jnp.uint32) ^ jnp.uint32(0x80000000)
+
+
+def _partner(x, j, lane_iota, row_iota):
+    """Value at index (e ^ j) for every entry e of a row-major (R, 128) tile."""
+    if j < LANES:
+        lo = _roll_lane(x, -j)  # e -> value at e + j
+        hi = _roll_lane(x, j)   # e -> value at e - j
+        mask = (lane_iota & j) == 0
+    else:
+        jr = j // LANES
+        lo = _roll_row(x, -jr)
+        hi = _roll_row(x, jr)
+        mask = (row_iota & jr) == 0
+    return jnp.where(mask, lo, hi), mask
+
+
+def _compare_exchange(ops, j, dir_up, lane_iota, row_iota):
+    """One bitonic stage: compare-exchange entries e <-> e^j, ascending where
+    dir_up. ops[0] is the key. Ties never swap (payload-consistent)."""
+    k = ops[0]
+    pk, is_lower = _partner(k, j, lane_iota, row_iota)
+    # Keep min on the (is_lower == dir_up) side, max on the other; the mask
+    # is a per-stage constant. knew != k exactly when the pair swapped
+    # (ties: min == max == k -> no swap), so payloads follow with one select.
+    want_min = is_lower == dir_up
+    knew = jnp.where(want_min, jnp.minimum(k, pk), jnp.maximum(k, pk))
+    swap = knew != k
+    out = [knew]
+    for p in ops[1:]:
+        pp, _ = _partner(p, j, lane_iota, row_iota)
+        out.append(jnp.where(swap, pp, p))
+    return out
+
+
+def _dir_up_mask(krun, lane_iota, row_iota, ascending_final: bool):
+    """Direction mask for run size `krun` (entries with (e & krun) == 0 sort
+    ascending). krun == 0 means the final monotonic merge (all one way)."""
+    if krun == 0:
+        full = jnp.bool_(ascending_final)
+        return jnp.broadcast_to(full, lane_iota.shape)
+    if krun < LANES:
+        return (lane_iota & krun) == 0
+    return (row_iota & (krun // LANES)) == 0
+
+
+def _block_sort_body(ops, rows: int, block_rows: int = None):
+    """Bitonic sort of every `block_rows`-row tile of a row-major (rows, 128)
+    array; each tile sorts ascending independently. Returns ops.
+
+    Multi-tile vectorization: all stage strides stay < one tile, and the
+    XOR-partner mask guarantees wrapped roll values are never selected at
+    tile boundaries, so every stage is a whole-(rows, 128) op. This is the
+    difference between issue-bound 8-vreg ops per 64-row block (~29 ms at
+    24M) and 128-vreg ops (measured below)."""
+    block_rows = rows if block_rows is None else block_rows
+    n = block_rows * LANES
+    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 1)
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 0)
+    size = 2
+    while size <= n:
+        # Direction bit: entry-index bit log2(size). Within-tile index bits
+        # of the global index are exact because tiles are size-aligned. At
+        # size == n the bit is the tile-index parity, so tiles come out
+        # ALTERNATING asc/desc — exactly what the merge levels consume
+        # (bitonic [asc | desc] pairs, no data reversal ever materializes).
+        # Requires an even tile count per grid cell (asserted by callers).
+        dir_up = _dir_up_mask(size, lane_iota, row_iota, True)
+        j = size // 2
+        while j >= 1:
+            ops = _compare_exchange(ops, j, dir_up, lane_iota, row_iota)
+            j //= 2
+        size *= 2
+    return ops
+
+
+# Rows per grid cell: 8 tiles of BLOCK_ROWS so stage ops are 64 vregs
+# (in+out double-buffered cells at 1024 rows overflow the 16 MB VMEM stack).
+CELL_ROWS = 512
+
+
+def _block_sort_kernel(k_ref, p1_ref, p2_ref, p3_ref,
+                       ko_ref, p1o_ref, p2o_ref, p3o_ref,
+                       *, rows: int, block_rows: int):
+    ops = [_to_ord(k_ref[...]), p1_ref[...], p2_ref[...], p3_ref[...]]
+    ops = _block_sort_body(ops, rows, block_rows)
+    ko_ref[...] = _from_ord(ops[0])
+    p1o_ref[...], p2o_ref[...], p3o_ref[...] = ops[1:]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def block_sort(keys, p1, p2, p3, interpret: bool = False):
+    """Sort BLOCK-entry tiles of the flat (E,) operands; ascending per block.
+
+    Returns (keys, p1, p2, p3) block-sorted plus (nblocks,) live counts
+    (an XLA reduction — sentinels have sunk to each block's tail).
+    E must be a multiple of BLOCK (the enum stage already pads with
+    sentinel slots).
+    """
+    e = keys.shape[0]
+    assert e % BLOCK == 0, e
+    nblocks = e // BLOCK
+    rows_total = e // LANES
+    cell_rows = min(CELL_ROWS, rows_total)
+    # Ragged tail: fall back to one cell per block row-count if not divisible.
+    while rows_total % cell_rows:
+        cell_rows //= 2
+    # Alternating tile directions need an even tile count per cell (tile
+    # parity is read from the cell-local row index).
+    assert cell_rows % (2 * BLOCK_ROWS) == 0 or nblocks == 1, (e, cell_rows)
+
+    def spec():
+        return pl.BlockSpec((cell_rows, LANES), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+
+    outs = pl.pallas_call(
+        functools.partial(_block_sort_kernel, rows=cell_rows,
+                          block_rows=BLOCK_ROWS),
+        grid=(rows_total // cell_rows,),
+        in_specs=[spec() for _ in range(4)],
+        out_specs=[spec() for _ in range(4)],
+        out_shape=[jax.ShapeDtypeStruct((rows_total, LANES), jnp.uint32)] * 4,
+        interpret=interpret,
+    )(*(a.reshape(rows_total, LANES) for a in (keys, p1, p2, p3)))
+    ks, s1, s2, s3 = outs
+    live = (ks != jnp.uint32(SENTINEL)).astype(jnp.int32)
+    counts = jnp.sum(live.reshape(nblocks, BLOCK_ROWS * LANES // 256, 256), axis=(1, 2))
+    return ks, s1, s2, s3, counts
+
+
+# ---------------------------------------------------------------------------
+# Phase 2: compacted merge-path merge levels.
+#
+# After phase 1 the array is BLOCK-entry runs, alternating asc/desc by run
+# parity, each a live region plus sorted-out sentinel slack (~44% of E at
+# the 6M bench scene). Rather than merging full-capacity runs, every level
+# materializes only each output run's LIVE rank window, rounded up to
+# 128-entry rows — so level 1 onward operates on ~live-sized data (the
+# compaction falls out of the merge itself; no separate pass):
+#
+#   * ASC output runs store merged ranks [0, ceil(live/128)*128) — all live
+#     plus <=127 tail sentinels.
+#   * DESC output runs store ranks [cap - stored, cap) of the top-rank
+#     order — <=127 HEAD sentinels plus all live (the skipped top ranks are
+#     all sentinel because cap - stored <= input slack).
+#
+# Runs therefore become RAGGED (row-aligned starts, data-dependent stored
+# lengths). All rank arithmetic is capacity-based with capacity := stored
+# size, so sentinels participate as ordinary +inf values and the kernel
+# needs no fill or skip special cases. Per level:
+#
+#   * XLA (`_ragged_level_meta`): pair arithmetic on (nruns,) arrays, a
+#     vectorized merge-path binary search per cell boundary, DMA (row,
+#     delta) coordinates, and the output row offsets (exclusive cumsum).
+#     Grid size must be static, so it is sized for the worst case and
+#     surplus cells no-op.
+#   * Kernel (`_merge_kernel`): double-buffered piece DMA in, cyclic-shift
+#     realignment (dynamic rolls), [asc piece | desc piece] concatenation
+#     (bitonic by construction), log2(CHUNK)-stage bitonic merge in the
+#     cell's output direction, manual chunk DMA out. A cell's static-size
+#     output write may spill past its pair's stored region into the next
+#     pair's rows; later cells overwrite the spill, and out-DMAs are
+#     serialized on one semaphore chain so the overlap is ordered (they
+#     still overlap compute). The buffer carries CHUNK_ROWS of pad for the
+#     last pair's spill, sentinel-filled afterwards.
+# ---------------------------------------------------------------------------
+
+CHUNK_ROWS = 256
+CHUNK = CHUNK_ROWS * LANES  # entries per merge grid cell
+_NR = CHUNK_ROWS + 8  # piece DMA rows: +1 for unaligned pieces, 8-aligned
+# meta columns
+(_M_NOOP, _M_DIR, _M_AROW, _M_ADELTA, _M_BROW, _M_BDELTA, _M_LENA, _M_OROW,
+ _M_LENW) = range(9)
+
+
+def _ragged_level_meta(keys, starts_rows, stored, live, ncells: int):
+    """Merge-level metadata over ragged runs (all entry counts, not rows).
+
+    keys: flat (Ealloc,) u32; starts_rows/stored/live: (nruns,) i32 run
+    descriptors (stored/starts in entries/rows, multiples of 128/1 row).
+    Returns meta (ncells, 8) i32 plus next-level run descriptors.
+    """
+    e_alloc = keys.shape[0]
+    rows_alloc = e_alloc // LANES
+    nruns = starts_rows.shape[0]
+    if nruns % 2:
+        starts_rows = jnp.concatenate([starts_rows, starts_rows[-1:] + stored[-1:] // LANES])
+        stored = jnp.concatenate([stored, jnp.zeros(1, jnp.int32)])
+        live = jnp.concatenate([live, jnp.zeros(1, jnp.int32)])
+
+    a_base = starts_rows[0::2] * LANES
+    b_base = starts_rows[1::2] * LANES
+    sa = stored[0::2]
+    sb = stored[1::2]
+    la = live[0::2]
+    lb = live[1::2]
+    cap = sa + sb
+    out_live = la + lb
+    out_stored = ((out_live + LANES - 1) // LANES) * LANES
+    out_start_rows = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(out_stored // LANES)[:-1].astype(jnp.int32)]
+    )
+    nch = jnp.maximum(1, -(-out_stored // CHUNK))
+    cum = jnp.cumsum(nch).astype(jnp.int32)
+    total_cells = cum[-1]
+
+    c = jnp.arange(ncells, dtype=jnp.int32)
+    p = jnp.searchsorted(cum, c, side="right").astype(jnp.int32)
+    noop = c >= total_cells
+    p = jnp.minimum(p, cum.shape[0] - 1)
+    q = c - jnp.where(p > 0, cum[jnp.maximum(p - 1, 0)], 0)
+    asc = (p % 2) == 0
+
+    capp, sap, sbp = cap[p], sa[p], sb[p]
+    window_base = jnp.where(asc, 0, capp - out_stored[p])
+    r0 = window_base + q * CHUNK
+    r0c = jnp.clip(r0, 0, capp)
+    r1c = jnp.clip(r0 + CHUNK, 0, capp)
+    a_bp, b_bp = a_base[p], b_base[p]
+
+    def split(r):
+        """#entries from run A among the first r ranks of the pair (bottom
+        ranks for asc cells, top ranks for desc), capacities included.
+        Called once on the stacked (r0 ++ r1) boundary vector so both
+        searches share one fori_loop."""
+        asc2 = jnp.concatenate([asc, asc])
+        sap2 = jnp.concatenate([sap, sap])
+        sbp2 = jnp.concatenate([sbp, sbp])
+        a_bp2 = jnp.concatenate([a_bp, a_bp])
+        b_bp2 = jnp.concatenate([b_bp, b_bp])
+        lo = jnp.maximum(0, r - sbp2)
+        hi = jnp.minimum(r, sap2)
+
+        def body(_, lohi):
+            lo, hi = lohi
+            alive = lo < hi
+            m = (lo + hi) // 2
+            ia = jnp.where(asc2, a_bp2 + m, a_bp2 + sap2 - 1 - m)
+            ib = jnp.where(asc2, b_bp2 + sbp2 - (r - m), b_bp2 + (r - m) - 1)
+            va = keys[jnp.clip(ia, 0, e_alloc - 1)]
+            vb = keys[jnp.clip(ib, 0, e_alloc - 1)]
+            take = jnp.where(asc2, va <= vb, va >= vb)
+            new_lo = jnp.where(alive & take, m + 1, lo)
+            new_hi = jnp.where(alive & ~take, m, hi)
+            return new_lo, new_hi
+
+        # 25 iterations cover any pair capacity up to 2^25 = 33.5M entries.
+        lo, hi = jax.lax.fori_loop(0, 25, body, (lo, hi))
+        return lo
+
+    a01 = split(jnp.concatenate([r0c, r1c]))
+    a0 = a01[: r0c.shape[0]]
+    a1 = a01[r0c.shape[0]:]
+    lena = a1 - a0
+    b0 = r0c - a0
+    b1 = r1c - a1
+
+    a_start = jnp.where(asc, a_bp + a0, a_bp + sap - a1)
+    b_start = jnp.where(asc, b_bp + sbp - b1, b_bp + b0)
+
+    def rowdelta(start):
+        row0 = jnp.clip(start // LANES, 0, rows_alloc - _NR)
+        return row0, start - row0 * LANES
+
+    a_row0, a_delta = rowdelta(a_start)
+    b_row0, b_delta = rowdelta(b_start)
+    out_row0 = out_start_rows[p] + q * CHUNK_ROWS
+
+    # (9, ncells): SMEM pads the minor dimension to 128 lanes, so the cell
+    # axis must be minor (a (ncells, 9) layout costs 512 B per cell).
+    meta = jnp.stack(
+        [noop.astype(jnp.int32), asc.astype(jnp.int32),
+         a_row0, a_delta, b_row0, b_delta, lena, out_row0,
+         r1c - r0c],
+        axis=0,
+    )
+    return meta, out_start_rows, out_stored, out_live
+
+
+def _cyclic_shift_left(x, delta):
+    """Entry-order cyclic left shift of a row-major (R, 128) tile by a traced
+    `delta`: out[e] = x[(e + delta) mod R*128]."""
+    rows = x.shape[0]
+    rs = delta // LANES
+    dl = delta % LANES
+    z = pltpu.roll(x, shift=(rows - rs) % rows, axis=0)
+    z1 = pltpu.roll(z, shift=rows - 1, axis=0)  # rows shifted by one more
+    t1 = pltpu.roll(z, shift=(LANES - dl) % LANES, axis=1)
+    t2 = pltpu.roll(z1, shift=(LANES - dl) % LANES, axis=1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    return jnp.where(lane < LANES - dl, t1, t2)
+
+
+def _merge_kernel(meta_ref, ka_ref, p1a_ref, p2a_ref, p3a_ref,
+                  ko_ref, p1o_ref, p2o_ref, p3o_ref,
+                  pieces, outbuf, sems, out_sems):
+    c = pl.program_id(0)
+    n = pl.num_programs(0)
+    in_refs = (ka_ref, p1a_ref, p2a_ref, p3a_ref)
+    out_refs = (ko_ref, p1o_ref, p2o_ref, p3o_ref)
+
+    def in_dma(cc, slot, piece, op):
+        row0 = meta_ref[_M_AROW + 2 * piece, cc]
+        return pltpu.make_async_copy(
+            in_refs[op].at[pl.ds(row0, _NR), :],
+            pieces.at[slot, piece, op],
+            sems.at[slot, piece, op],
+        )
+
+    def issue(cc, slot):
+        @pl.when(meta_ref[_M_NOOP, cc] == 0)
+        def _():
+            for piece in range(2):
+                for op in range(4):
+                    in_dma(cc, slot, piece, op).start()
+
+    @pl.when(c == 0)
+    def _():
+        issue(0, 0)
+
+    @pl.when(c + 1 < n)
+    def _():
+        issue(c + 1, (c + 1) % 2)
+
+    noop = meta_ref[_M_NOOP, c]
+    oslot = c % 2
+
+    @pl.when(noop == 0)
+    def _():
+        slot = c % 2
+        for piece in range(2):
+            for op in range(4):
+                in_dma(c, slot, piece, op).wait()
+
+        a_delta = meta_ref[_M_ADELTA, c]
+        b_delta = meta_ref[_M_BDELTA, c]
+        lena = meta_ref[_M_LENA, c]
+        asc = meta_ref[_M_DIR, c] == 1
+        e_iota = (
+            jax.lax.broadcasted_iota(jnp.int32, (CHUNK_ROWS, LANES), 0) * LANES
+            + jax.lax.broadcasted_iota(jnp.int32, (CHUNK_ROWS, LANES), 1)
+        )
+        lane_iota = jax.lax.broadcasted_iota(jnp.int32, (CHUNK_ROWS, LANES), 1)
+        row_iota = jax.lax.broadcasted_iota(jnp.int32, (CHUNK_ROWS, LANES), 0)
+
+        lenw = meta_ref[_M_LENW, c]
+        lenb = lenw - lena
+        # Chunks whose rank window is clipped at the pair's capacity have
+        # chunk - lenw garbage slots; they must be padded with values that
+        # keep S bitonic AND sort into the spill rows: ASC cells pad +inf at
+        # the PEAK (between the ascending A piece and descending B piece —
+        # +inf after B would add a third monotone segment); DESC cells pad
+        # -inf after B (the valley). Both pads land in the spill rows of the
+        # output (the real window is a whole number of rows).
+        b_off = jnp.where(asc, CHUNK - lenb, lena)
+        in_b = (e_iota >= b_off) & (e_iota < b_off + lenb)
+        pad_key = jnp.where(asc, jnp.int32(0x7FFFFFFF), jnp.int32(-0x80000000))
+        ops = []
+        for op in range(4):
+            pa = _cyclic_shift_left(pieces[slot, 0, op], a_delta)[:CHUNK_ROWS]
+            pb = _cyclic_shift_left(pieces[slot, 1, op], b_delta)[:CHUNK_ROWS]
+            pb = _cyclic_shift_left(pb, (CHUNK - b_off) % CHUNK)
+            if op == 0:
+                s = jnp.where(e_iota < lena, _to_ord(pa),
+                              jnp.where(in_b, _to_ord(pb), pad_key))
+            else:
+                s = jnp.where(e_iota < lena, pa, pb)
+            ops.append(s)
+
+        # Bitonic merge of [asc piece | desc piece] in the output direction.
+        j = CHUNK // 2
+        while j >= 1:
+            k = ops[0]
+            pk, is_lower = _partner(k, j, lane_iota, row_iota)
+            want_min = is_lower == asc
+            knew = jnp.where(want_min, jnp.minimum(k, pk), jnp.maximum(k, pk))
+            swap = knew != k
+            nxt = [knew]
+            for pvals in ops[1:]:
+                pp, _ = _partner(pvals, j, lane_iota, row_iota)
+                nxt.append(jnp.where(swap, pp, pvals))
+            ops = nxt
+            j //= 2
+
+        outbuf[oslot, 0] = _from_ord(ops[0])
+        for op in range(1, 4):
+            outbuf[oslot, op] = ops[op]
+
+    # Serialize output DMAs: consecutive cells' spill regions overlap, so
+    # writes must land in cell order (they still overlap each cell's
+    # compute). No-op cells form a strict suffix of the grid, so "previous
+    # cell real" covers the whole chain, and the first no-op (or the last
+    # cell) drains the final group.
+    def out_dma(cc, slot, op):
+        return pltpu.make_async_copy(
+            outbuf.at[slot, op],
+            out_refs[op].at[pl.ds(meta_ref[_M_OROW, cc], CHUNK_ROWS), :],
+            out_sems.at[slot],
+        )
+
+    # NB: the index must be clamped — the condition operand is evaluated
+    # unconditionally, and meta_ref[., -1] is an out-of-bounds SMEM read.
+    cprev = jnp.maximum(c - 1, 0)
+
+    @pl.when((c > 0) & (meta_ref[_M_NOOP, cprev] == 0))
+    def _():
+        for op in range(4):
+            out_dma(cprev, cprev % 2, op).wait()
+
+    @pl.when(noop == 0)
+    def _():
+        for op in range(4):
+            out_dma(c, oslot, op).start()
+
+    @pl.when((c == n - 1) & (noop == 0))
+    def _():
+        for op in range(4):
+            out_dma(c, oslot, op).wait()
+
+
+def _merge_level(planes, meta, interpret: bool = False):
+    """Run one ragged merge level; planes are 4 (rows_alloc, LANES) u32."""
+    rows_alloc = planes[0].shape[0]
+    ncells = meta.shape[1]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(ncells,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4,
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4,
+        scratch_shapes=[
+            pltpu.VMEM((2, 2, 4, _NR, LANES), jnp.uint32),
+            pltpu.VMEM((2, 4, CHUNK_ROWS, LANES), jnp.uint32),
+            pltpu.SemaphoreType.DMA((2, 2, 4)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        _merge_kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((rows_alloc, LANES), jnp.uint32)] * 4,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(meta, *planes)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def merge_sort(keys, p1, p2, p3, interpret: bool = False):
+    """Full sort of (keys + 3 payload planes), ascending by key — the
+    drop-in replacement for `lax.sort((k, p1, p2, p3), num_keys=1)` on the
+    entry planes, returning arrays LONGER than the input (sentinel-padded
+    by up to CHUNK + 127 entries; callers must tolerate the tail).
+    Sentinel-slot payloads are unspecified (never read downstream)."""
+    e = keys.shape[0]
+    ks, s1, s2, s3, counts = block_sort(keys, p1, p2, p3, interpret=interpret)
+    nblocks = e // BLOCK
+    if nblocks == 1:
+        return tuple(a.reshape(-1) for a in (ks, s1, s2, s3))
+
+    rows_total = e // LANES
+    rows_alloc = rows_total + CHUNK_ROWS  # spill pad for the last pair
+    pad_k = jnp.full((CHUNK_ROWS, LANES), jnp.uint32(SENTINEL))
+    planes = [jnp.concatenate([ks, pad_k], axis=0)]
+    for a in (s1, s2, s3):
+        planes.append(jnp.concatenate([a, jnp.zeros((CHUNK_ROWS, LANES), jnp.uint32)], axis=0))
+
+    starts_rows = jnp.arange(nblocks, dtype=jnp.int32) * BLOCK_ROWS
+    stored = jnp.full((nblocks,), BLOCK, jnp.int32)
+    live = counts
+    nruns = nblocks
+    # Static worst-case cells: all rows live, plus one minimum-chunk cell
+    # per pair.
+    while nruns > 1:
+        npairs = -(-nruns // 2)
+        # Worst-case cells: all rows live (+ up to 127 slack entries per
+        # pair, ~1 row each) plus one minimum chunk per pair.
+        ncells = -(-(rows_total + npairs) // CHUNK_ROWS) + npairs
+        meta, starts_rows, stored, live = _ragged_level_meta(
+            planes[0].reshape(-1), starts_rows, stored, live, ncells
+        )
+        planes = _merge_level(planes, meta, interpret=interpret)
+        nruns = npairs
+
+    # Tail beyond the final run's stored rows holds stale spill — restore
+    # the sentinel invariant for the downstream searchsorted.
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (rows_alloc, LANES), 0)
+    keys_out = jnp.where(row_ids < starts_rows[0] + stored[0] // LANES,
+                         planes[0], jnp.uint32(SENTINEL))
+    return (keys_out.reshape(-1), planes[1].reshape(-1),
+            planes[2].reshape(-1), planes[3].reshape(-1))
+
+
+def sort_entries(keys, p1, p2, p3, impl: str = "auto"):
+    """Entry-plane sort dispatcher: the Pallas merge sort on TPU, lax.sort
+    elsewhere (CPU tests / odd geometries fall through inside merge_sort).
+    NOTE: the Pallas path may return arrays LONGER than the input, with a
+    sentinel-key tail."""
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if impl == "pallas" and keys.shape[0] % BLOCK == 0:
+        return merge_sort(keys, p1, p2, p3)
+    if impl == "interpret" and keys.shape[0] % BLOCK == 0:
+        return merge_sort(keys, p1, p2, p3, interpret=True)
+    return jax.lax.sort((keys, p1, p2, p3), num_keys=1, is_stable=False)
