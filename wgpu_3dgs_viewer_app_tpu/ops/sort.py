@@ -259,8 +259,16 @@ def _ragged_level_meta(keys, starts_rows, stored, live, ncells: int):
     cap = sa + sb
     out_live = la + lb
     out_stored = ((out_live + LANES - 1) // LANES) * LANES
-    out_start_rows = jnp.concatenate(
-        [jnp.zeros(1, jnp.int32), jnp.cumsum(out_stored // LANES)[:-1].astype(jnp.int32)]
+    # Every pair gets CHUNK_ROWS of private spill pad after its stored rows,
+    # so no two cells ever write overlapping rows and output DMAs need no
+    # cross-cell ordering (they still pipeline 2-deep for buffer reuse).
+    npairs_l = sa.shape[0]
+    out_start_rows = (
+        jnp.concatenate(
+            [jnp.zeros(1, jnp.int32),
+             jnp.cumsum(out_stored // LANES)[:-1].astype(jnp.int32)]
+        )
+        + jnp.arange(npairs_l, dtype=jnp.int32) * CHUNK_ROWS
     )
     nch = jnp.maximum(1, -(-out_stored // CHUNK))
     cum = jnp.cumsum(nch).astype(jnp.int32)
@@ -387,6 +395,28 @@ def _merge_kernel(meta_ref, ka_ref, p1a_ref, p2a_ref, p3a_ref,
     noop = meta_ref[_M_NOOP, c]
     oslot = c % 2
 
+    # Output groups pipeline 2-deep: before cell c rewrites outbuf[c%2],
+    # wait for cell c-2's DMA out of that slot. Output rows are disjoint
+    # across cells (private per-pair spill pads), so no other ordering is
+    # needed. NB: condition operands evaluate unconditionally — clamp SMEM
+    # indices (meta_ref[., -1] is out of bounds).
+    def out_dma(cc, slot, op):
+        return pltpu.make_async_copy(
+            outbuf.at[slot, op],
+            out_refs[op].at[pl.ds(meta_ref[_M_OROW, cc], CHUNK_ROWS), :],
+            out_sems.at[slot],
+        )
+
+    def wait_group(cc):
+        for op in range(4):
+            out_dma(cc, cc % 2, op).wait()
+
+    cm2 = jnp.maximum(c - 2, 0)
+
+    @pl.when((c >= 2) & (meta_ref[_M_NOOP, cm2] == 0))
+    def _():
+        wait_group(cm2)
+
     @pl.when(noop == 0)
     def _():
         slot = c % 2
@@ -448,41 +478,28 @@ def _merge_kernel(meta_ref, ka_ref, p1a_ref, p2a_ref, p3a_ref,
         for op in range(1, 4):
             outbuf[oslot, op] = ops[op]
 
-    # Serialize output DMAs: consecutive cells' spill regions overlap, so
-    # writes must land in cell order (they still overlap each cell's
-    # compute). No-op cells form a strict suffix of the grid, so "previous
-    # cell real" covers the whole chain, and the first no-op (or the last
-    # cell) drains the final group.
-    def out_dma(cc, slot, op):
-        return pltpu.make_async_copy(
-            outbuf.at[slot, op],
-            out_refs[op].at[pl.ds(meta_ref[_M_OROW, cc], CHUNK_ROWS), :],
-            out_sems.at[slot],
-        )
-
-    # NB: the index must be clamped — the condition operand is evaluated
-    # unconditionally, and meta_ref[., -1] is an out-of-bounds SMEM read.
-    cprev = jnp.maximum(c - 1, 0)
-
-    @pl.when((c > 0) & (meta_ref[_M_NOOP, cprev] == 0))
-    def _():
-        for op in range(4):
-            out_dma(cprev, cprev % 2, op).wait()
-
     @pl.when(noop == 0)
     def _():
         for op in range(4):
             out_dma(c, oslot, op).start()
 
+    # Drain at the grid end: groups n-1 and n-2 have no c+2 successor.
+    cm1 = jnp.maximum(c - 1, 0)
+
     @pl.when((c == n - 1) & (noop == 0))
     def _():
-        for op in range(4):
-            out_dma(c, oslot, op).wait()
+        wait_group(c)
+
+    @pl.when((c == n - 1) & (c >= 1) & (meta_ref[_M_NOOP, cm1] == 0))
+    def _():
+        wait_group(cm1)
 
 
-def _merge_level(planes, meta, interpret: bool = False):
-    """Run one ragged merge level; planes are 4 (rows_alloc, LANES) u32."""
-    rows_alloc = planes[0].shape[0]
+def _merge_level(planes, meta, out_rows: int, interpret: bool = False):
+    """Run one ragged merge level; planes are 4 (rows, LANES) u32 arrays
+    (input and output row counts differ — outputs carry per-pair spill
+    pads)."""
+    rows_alloc = out_rows
     ncells = meta.shape[1]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -510,42 +527,45 @@ def _merge_level(planes, meta, interpret: bool = False):
 def merge_sort(keys, p1, p2, p3, interpret: bool = False):
     """Full sort of (keys + 3 payload planes), ascending by key — the
     drop-in replacement for `lax.sort((k, p1, p2, p3), num_keys=1)` on the
-    entry planes, returning arrays LONGER than the input (sentinel-padded
-    by up to CHUNK + 127 entries; callers must tolerate the tail).
-    Sentinel-slot payloads are unspecified (never read downstream)."""
+    entry planes, returning arrays LONGER than the input (the merge levels
+    append per-pair spill pads; the tail beyond the live prefix is all
+    sentinel keys). Sentinel-slot payloads are unspecified (never read)."""
     e = keys.shape[0]
+    rows_total = e // LANES
+    # Piece DMA needs _NR input rows; tiny arrays delegate to lax.sort.
+    if BLOCK < e and rows_total < _NR:
+        return jax.lax.sort((keys, p1, p2, p3), num_keys=1, is_stable=False)
     ks, s1, s2, s3, counts = block_sort(keys, p1, p2, p3, interpret=interpret)
     nblocks = e // BLOCK
     if nblocks == 1:
         return tuple(a.reshape(-1) for a in (ks, s1, s2, s3))
 
-    rows_total = e // LANES
-    rows_alloc = rows_total + CHUNK_ROWS  # spill pad for the last pair
-    pad_k = jnp.full((CHUNK_ROWS, LANES), jnp.uint32(SENTINEL))
-    planes = [jnp.concatenate([ks, pad_k], axis=0)]
-    for a in (s1, s2, s3):
-        planes.append(jnp.concatenate([a, jnp.zeros((CHUNK_ROWS, LANES), jnp.uint32)], axis=0))
-
+    planes = [ks, s1, s2, s3]
     starts_rows = jnp.arange(nblocks, dtype=jnp.int32) * BLOCK_ROWS
     stored = jnp.full((nblocks,), BLOCK, jnp.int32)
     live = counts
     nruns = nblocks
-    # Static worst-case cells: all rows live, plus one minimum-chunk cell
-    # per pair.
+    in_rows = rows_total
     while nruns > 1:
         npairs = -(-nruns // 2)
-        # Worst-case cells: all rows live (+ up to 127 slack entries per
-        # pair, ~1 row each) plus one minimum chunk per pair.
+        # Static worst-case cells: all rows live (+ <=1 slack row per pair)
+        # plus one minimum chunk per pair.
         ncells = -(-(rows_total + npairs) // CHUNK_ROWS) + npairs
+        # Output rows: stored (<= rows_total + 1 slack row per pair) plus
+        # each pair's private CHUNK_ROWS spill pad.
+        out_rows = rows_total + npairs * (CHUNK_ROWS + 1)
         meta, starts_rows, stored, live = _ragged_level_meta(
             planes[0].reshape(-1), starts_rows, stored, live, ncells
         )
-        planes = _merge_level(planes, meta, interpret=interpret)
+        planes = _merge_level(planes, meta, out_rows, interpret=interpret)
         nruns = npairs
+        in_rows = out_rows
 
-    # Tail beyond the final run's stored rows holds stale spill — restore
-    # the sentinel invariant for the downstream searchsorted.
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (rows_alloc, LANES), 0)
+    # The tail beyond the final run's stored rows holds unwritten/spill
+    # garbage — restore the sentinel invariant for the downstream
+    # searchsorted.
+    final_rows = planes[0].shape[0]
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (final_rows, LANES), 0)
     keys_out = jnp.where(row_ids < starts_rows[0] + stored[0] // LANES,
                          planes[0], jnp.uint32(SENTINEL))
     return (keys_out.reshape(-1), planes[1].reshape(-1),
@@ -559,6 +579,10 @@ def sort_entries(keys, p1, p2, p3, impl: str = "auto"):
     sentinel-key tail."""
     if impl == "auto":
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+        # Small arrays: lax.sort's fixed cost wins under the merge
+        # pipeline's per-level overheads (~1 ms at E=205k vs ~3.5 ms).
+        if keys.shape[0] < 1_000_000:
+            impl = "xla"
     if impl == "pallas" and keys.shape[0] % BLOCK == 0:
         return merge_sort(keys, p1, p2, p3)
     if impl == "interpret" and keys.shape[0] % BLOCK == 0:
