@@ -535,11 +535,33 @@ def build_sorted_entries(
         x, y, pre.radius, r2s, key_lo, p1_base, p2s, p3s, cfg, impl
     )
 
-    from .sort import sort_entries
+    from .sort import sort_entries_interleaved
 
-    sk, s1, s2, s3 = sort_entries(keys, p1, p2, p3)
-
+    sk, inter, s1, s2, s3 = sort_entries_interleaved(keys, p1, p2, p3)
+    if inter is not None:
+        return _sorted_entries_from_interleaved(sk, inter, cfg)
     return _sorted_entries_from_sorted(sk, s1, s2, s3, cfg)
+
+
+def _tile_edges(sk, cfg: TileConfig):
+    boundaries = (
+        jnp.arange(cfg.n_tiles + 1, dtype=jnp.uint32)
+        << jnp.uint32(cfg.v2_depth_bits + cfg.ALPHA_BITS)
+    )
+    return jnp.searchsorted(sk, boundaries, side="left").astype(jnp.int32)
+
+
+def _sorted_entries_from_interleaved(sk, inter, cfg: TileConfig) -> SortedEntries:
+    """Tail for the direct-interleaved Pallas sort: the (R, 4, 128) planes
+    come straight from the final merge level (rows beyond the live prefix
+    are stale spill — never addressed by any tile range)."""
+    edges = _tile_edges(sk, cfg)
+    return SortedEntries(
+        planes=inter,
+        tile_starts=edges[:-1],
+        tile_counts=edges[1:] - edges[:-1],
+        n_valid=edges[cfg.n_tiles],
+    )
 
 
 def _sorted_entries_from_sorted(sk, s1, s2, s3, cfg: TileConfig) -> SortedEntries:

@@ -346,9 +346,13 @@ def build_sorted_entries_fused(
         interpret=interpret,
     )(params, *ins)
 
-    from .sort import sort_entries
+    from .sort import sort_entries_interleaved
 
-    sk, s1, s2, s3 = sort_entries(
+    sk, inter, s1, s2, s3 = sort_entries_interleaved(
         keys.reshape(-1), p1.reshape(-1), p2.reshape(-1), p3.reshape(-1)
     )
+    if inter is not None:
+        from .binning import _sorted_entries_from_interleaved
+
+        return _sorted_entries_from_interleaved(sk, inter, cfg)
     return _sorted_entries_from_sorted(sk, s1, s2, s3, cfg)

@@ -362,12 +362,19 @@ def _cyclic_shift_left(x, delta):
 
 
 def _merge_kernel(meta_ref, ka_ref, p1a_ref, p2a_ref, p3a_ref,
-                  ko_ref, p1o_ref, p2o_ref, p3o_ref,
-                  pieces, outbuf, sems, out_sems):
+                  *out_and_scratch, interleaved: bool = False):
+    if interleaved:
+        # Final-level mode: flat keys (for the boundary searchsorted) plus
+        # the compositor's (R, 4, 128) row-interleaved entry planes.
+        ko_ref, inter_ref, pieces, outbuf, sems, out_sems = out_and_scratch
+    else:
+        (ko_ref, p1o_ref, p2o_ref, p3o_ref,
+         pieces, outbuf, sems, out_sems) = out_and_scratch
     c = pl.program_id(0)
     n = pl.num_programs(0)
     in_refs = (ka_ref, p1a_ref, p2a_ref, p3a_ref)
-    out_refs = (ko_ref, p1o_ref, p2o_ref, p3o_ref)
+    if not interleaved:
+        out_refs = (ko_ref, p1o_ref, p2o_ref, p3o_ref)
 
     def in_dma(cc, slot, piece, op):
         row0 = meta_ref[_M_AROW + 2 * piece, cc]
@@ -400,16 +407,27 @@ def _merge_kernel(meta_ref, ka_ref, p1a_ref, p2a_ref, p3a_ref,
     # across cells (private per-pair spill pads), so no other ordering is
     # needed. NB: condition operands evaluate unconditionally — clamp SMEM
     # indices (meta_ref[., -1] is out of bounds).
-    def out_dma(cc, slot, op):
-        return pltpu.make_async_copy(
-            outbuf.at[slot, op],
-            out_refs[op].at[pl.ds(meta_ref[_M_OROW, cc], CHUNK_ROWS), :],
-            out_sems.at[slot],
-        )
+    def out_dmas(cc, slot):
+        orow = pl.ds(meta_ref[_M_OROW, cc], CHUNK_ROWS)
+        if interleaved:
+            return [
+                pltpu.make_async_copy(outbuf.at[slot, 0], ko_ref.at[orow, :],
+                                      out_sems.at[slot])
+            ] + [
+                pltpu.make_async_copy(outbuf.at[slot, op],
+                                      inter_ref.at[orow, op, :],
+                                      out_sems.at[slot])
+                for op in range(4)
+            ]
+        return [
+            pltpu.make_async_copy(outbuf.at[slot, op],
+                                  out_refs[op].at[orow, :], out_sems.at[slot])
+            for op in range(4)
+        ]
 
     def wait_group(cc):
-        for op in range(4):
-            out_dma(cc, cc % 2, op).wait()
+        for dma in out_dmas(cc, cc % 2):
+            dma.wait()
 
     cm2 = jnp.maximum(c - 2, 0)
 
@@ -480,8 +498,8 @@ def _merge_kernel(meta_ref, ka_ref, p1a_ref, p2a_ref, p3a_ref,
 
     @pl.when(noop == 0)
     def _():
-        for op in range(4):
-            out_dma(c, oslot, op).start()
+        for dma in out_dmas(c, oslot):
+            dma.start()
 
     # Drain at the grid end: groups n-1 and n-2 have no c+2 successor.
     cm1 = jnp.maximum(c - 1, 0)
@@ -495,18 +513,29 @@ def _merge_kernel(meta_ref, ka_ref, p1a_ref, p2a_ref, p3a_ref,
         wait_group(cm1)
 
 
-def _merge_level(planes, meta, out_rows: int, interpret: bool = False):
+def _merge_level(planes, meta, out_rows: int, interpret: bool = False,
+                 interleaved: bool = False):
     """Run one ragged merge level; planes are 4 (rows, LANES) u32 arrays
     (input and output row counts differ — outputs carry per-pair spill
-    pads)."""
+    pads). With `interleaved` (the final level), returns (flat_keys,
+    (rows, 4, 128) interleaved planes) instead of 4 flat planes."""
     rows_alloc = out_rows
     ncells = meta.shape[1]
 
+    if interleaved:
+        out_shape = [
+            jax.ShapeDtypeStruct((rows_alloc, LANES), jnp.uint32),
+            jax.ShapeDtypeStruct((rows_alloc, 4, LANES), jnp.uint32),
+        ]
+        n_out = 2
+    else:
+        out_shape = [jax.ShapeDtypeStruct((rows_alloc, LANES), jnp.uint32)] * 4
+        n_out = 4
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(ncells,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4,
-        out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4,
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_out,
         scratch_shapes=[
             pltpu.VMEM((2, 2, 4, _NR, LANES), jnp.uint32),
             pltpu.VMEM((2, 4, CHUNK_ROWS, LANES), jnp.uint32),
@@ -515,21 +544,29 @@ def _merge_level(planes, meta, out_rows: int, interpret: bool = False):
         ],
     )
     return pl.pallas_call(
-        _merge_kernel,
+        functools.partial(_merge_kernel, interleaved=interleaved),
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((rows_alloc, LANES), jnp.uint32)] * 4,
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )(meta, *planes)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def merge_sort(keys, p1, p2, p3, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("interpret", "interleaved"))
+def merge_sort(keys, p1, p2, p3, interpret: bool = False,
+               interleaved: bool = False):
     """Full sort of (keys + 3 payload planes), ascending by key — the
     drop-in replacement for `lax.sort((k, p1, p2, p3), num_keys=1)` on the
     entry planes, returning arrays LONGER than the input (the merge levels
     append per-pair spill pads; the tail beyond the live prefix is all
-    sentinel keys). Sentinel-slot payloads are unspecified (never read)."""
+    sentinel keys). Sentinel-slot payloads are unspecified (never read).
+
+    With `interleaved`, the FINAL merge level writes the compositor's
+    (R, 4, 128) row-interleaved layout directly (plane 0 duplicated as the
+    flat key array for the boundary searchsorted) and the return is
+    (flat_keys, interleaved) — saving a 384 MB XLA interleave pass. Falls
+    back to the tuple form (caller stacks) for geometries the Pallas path
+    rejects."""
     e = keys.shape[0]
     rows_total = e // LANES
     # Piece DMA needs _NR input rows; tiny arrays delegate to lax.sort.
@@ -545,7 +582,7 @@ def merge_sort(keys, p1, p2, p3, interpret: bool = False):
     stored = jnp.full((nblocks,), BLOCK, jnp.int32)
     live = counts
     nruns = nblocks
-    in_rows = rows_total
+    inter = None
     while nruns > 1:
         npairs = -(-nruns // 2)
         # Static worst-case cells: all rows live (+ <=1 slack row per pair)
@@ -557,9 +594,15 @@ def merge_sort(keys, p1, p2, p3, interpret: bool = False):
         meta, starts_rows, stored, live = _ragged_level_meta(
             planes[0].reshape(-1), starts_rows, stored, live, ncells
         )
-        planes = _merge_level(planes, meta, out_rows, interpret=interpret)
+        last = interleaved and npairs == 1
+        out = _merge_level(planes, meta, out_rows, interpret=interpret,
+                           interleaved=last)
+        if last:
+            planes = [out[0]]
+            inter = out[1]
+        else:
+            planes = out
         nruns = npairs
-        in_rows = out_rows
 
     # The tail beyond the final run's stored rows holds unwritten/spill
     # garbage — restore the sentinel invariant for the downstream
@@ -568,8 +611,30 @@ def merge_sort(keys, p1, p2, p3, interpret: bool = False):
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (final_rows, LANES), 0)
     keys_out = jnp.where(row_ids < starts_rows[0] + stored[0] // LANES,
                          planes[0], jnp.uint32(SENTINEL))
+    if inter is not None:
+        return keys_out.reshape(-1), inter
     return (keys_out.reshape(-1), planes[1].reshape(-1),
             planes[2].reshape(-1), planes[3].reshape(-1))
+
+
+def sort_entries_interleaved(keys, p1, p2, p3, impl: str = "auto"):
+    """Sort + direct interleave: returns (flat_keys, (R, 4, 128) planes) on
+    the Pallas path, or (flat_keys, None, p1, p2, p3) sorted-tuple form when
+    delegating (caller interleaves)."""
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+        if keys.shape[0] < 1_000_000:
+            impl = "xla"
+    if impl in ("pallas", "interpret") and keys.shape[0] % BLOCK == 0:
+        out = merge_sort(keys, p1, p2, p3, interpret=impl == "interpret",
+                         interleaved=True)
+        if len(out) == 2:
+            return out[0], out[1], None, None, None
+        sk, s1, s2, s3 = out
+    else:
+        sk, s1, s2, s3 = jax.lax.sort((keys, p1, p2, p3), num_keys=1,
+                                      is_stable=False)
+    return sk, None, s1, s2, s3
 
 
 def sort_entries(keys, p1, p2, p3, impl: str = "auto"):
