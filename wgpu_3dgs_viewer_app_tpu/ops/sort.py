@@ -2,29 +2,41 @@
 the engine crate's GPU radix sorter (reference `src/tab/scene.rs:865-869`).
 
 `jax.lax.sort` with one u32 key + three u32 payload planes costs ~115 ms at
-E = 24M on v5e (~24 ms per operand; PERF_NOTES.md). A GPU radix sort does not
-port — Mosaic has no per-lane scatter, even in VMEM — so this is a
-comparison sort shaped to the VPU:
+E = 24M on v5e (PERF_NOTES.md). A GPU radix sort does not port — Mosaic has
+no per-lane scatter, even in VMEM — so this is a comparison sort shaped to
+the VPU:
 
-  Phase 1  `block_sort`: bitonic sort of BLOCK-entry tiles entirely in VMEM.
-           All compare-exchange stages are whole-array ops: partner values
-           come from lane/sublane rolls + iota masks (no gathers anywhere).
-  Phase 2  `merge_level` × ceil(log2(E/BLOCK)): pairwise merge of sorted
-           runs, split into independent CHUNK-entry cells by merge-path
-           rank splitting (binary search over run pairs, vectorized in XLA
-           between kernel launches). Each cell DMAs its two ragged pieces
-           at row granularity, realigns them in VMEM with dynamic rolls,
-           concatenates [A ascending | B reversed] into a bitonic sequence,
-           and runs the log2(CHUNK)-stage bitonic merge.
+  Phase 1  `block_sort`: bitonic sort of BLOCK-entry tiles entirely in
+           VMEM, tiles ALTERNATING ascending/descending by parity. All
+           compare-exchange stages are whole-array ops over multi-tile
+           cells: partner values come from lane/sublane rolls + iota masks
+           (no gathers anywhere), keys compare in signed-ordinal space
+           (no unsigned min/max on the VPU).
+  Phase 2  ceil(log2(E/BLOCK)) merge-path merge levels: run pairs are
+           always (ascending, descending), so every CHUNK-entry grid cell
+           merges [asc piece | desc piece] — bitonic by construction, no
+           data reversal anywhere. Rank splits are capacity-based (sorted
+           sentinel slack participates as +inf) and found by one batched
+           binary search per level in XLA between kernel launches. Cells
+           DMA their two ragged pieces at row granularity and realign with
+           dynamic rolls. Each level materializes only every output run's
+           LIVE rank window rounded to rows — the ~44%-of-E sentinel slack
+           from culled duplicate slots drops out of all later levels, and
+           runs become ragged (row-aligned starts, data-dependent stored
+           lengths, per-pair private spill pads so output DMAs need no
+           cross-cell ordering).
 
-Sentinel skipping: dead entries (key 0xFFFFFFFF — culled duplicate slots,
-~44% of E at the 6M bench scene) sink to every run's tail after phase 1.
-Merge cells whose output chunk lies entirely in the sentinel tail skip the
-DMA-in and the merge compute and just store the sentinel constant.
+The final level can emit the compositor's (R, 4, 128) row-interleaved
+layout directly (`interleaved=True`), replacing the XLA interleave pass.
 
-Entry order produced is identical to `lax.sort(..., is_stable=False)` up to
-payload order within equal keys (keys here are unique per (tile, depth,
-alpha) only — ties blend order-independently in the compositor).
+Output contract: live prefix ascending with payloads attached; the tail
+(longer than the input — levels append spill pads) is all sentinel keys
+with unspecified payloads (never read downstream). Entry order matches
+`lax.sort(..., is_stable=False)` up to payload order within equal keys
+(ties blend order-independently in the compositor).
+
+Measured at E=24M, 44% sentinels (v5e): 83 ms; 97 ms with no sentinels.
+Design dead-ends and platform constants are in PERF_NOTES.md.
 """
 
 from __future__ import annotations
