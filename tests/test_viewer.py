@@ -107,3 +107,49 @@ def test_commit_selection_edit_and_download():
     flags, rgb, params = b.download_edits()
     assert (flags[:10] == EDIT_FLAG_ENABLED).all() and (flags[10:] == 0).all()
     np.testing.assert_allclose(params[:10, 3], 0.7)
+
+
+def test_merged_multimodel_equals_sequential_blend():
+    """The fused multi-model pass (model rank in the sort key, one sort +
+    one compositing pass) must reproduce per-model back-to-front blending
+    (`src/tab/scene.rs:2299-2315` semantics) — the over operator is
+    associative, so the images agree up to float tolerance."""
+    import numpy as np
+
+    from wgpu_3dgs_viewer_app_tpu.core import ModelTransform
+    from wgpu_3dgs_viewer_app_tpu.data import make_random_scene
+    from wgpu_3dgs_viewer_app_tpu.viewer import MultiModelViewer
+    from wgpu_3dgs_viewer_app_tpu.core.camera import CameraOrbitControl
+
+    v = MultiModelViewer(160, 96, tile=16, max_dup=4)
+    for i, dx in enumerate((-0.6, 0.5)):
+        g = make_random_scene(400, seed=i, extent=0.8, scale_range=(0.02, 0.08))
+        v.add_model(f"m{i}", g)
+        v.update_model_transform(f"m{i}", ModelTransform(pos=np.array([dx, 0, 0.3 * i], np.float32)))
+    cam = CameraOrbitControl(target=(0, 0, 0), pos=(0, 0, -3))
+    v.update_camera(cam)
+
+    merged = np.asarray(v.render())
+    order = v.model_order()
+    # sequential reference: per-model images blended back-to-front
+    acc = None
+    for key in order:
+        img = v.render_model(key)
+        if acc is None:
+            acc = img
+        else:
+            a = img[..., 3:4]
+            acc = np.concatenate(
+                [np.asarray(img[..., :3]) + (1.0 - np.asarray(a)) * np.asarray(acc[..., :3]),
+                 np.asarray(a) + (1.0 - np.asarray(a)) * np.asarray(acc[..., 3:4])], axis=-1)
+    from wgpu_3dgs_viewer_app_tpu.ops.composite import over_background
+
+    seq = np.asarray(over_background(jnp_asarray(acc), v.background))
+    diff = np.abs(merged - seq)
+    assert diff.max() < 3e-2 and diff.mean() < 1e-4
+
+
+def jnp_asarray(x):
+    import jax.numpy as jnp
+
+    return jnp.asarray(x)

@@ -64,16 +64,26 @@ class TileConfig:
     def depth_bits(self) -> int:
         return 32 - self.tile_bits
 
-    # v2 key layout: tile | depth | alpha8. Stashing the per-entry opacity in
-    # the key's low byte removes one u32 sort payload (~24 ms at E=24M on
-    # v5e), and the sorted keys flow to the compositor anyway. Sorting by
-    # alpha within equal (tile, depth) buckets is harmless: those entries are
-    # depth ties whose blend order is unspecified after quantization.
+    # v2 key layout: tile | model_rank | depth | alpha8. Stashing the
+    # per-entry opacity in the key's low byte removes one u32 sort payload
+    # (~24 ms at E=24M on v5e), and the sorted keys flow to the compositor
+    # anyway. Sorting by alpha within equal (tile, depth) buckets is
+    # harmless: those entries are depth ties whose blend order is
+    # unspecified after quantization. model_bits > 0 enables the fused
+    # multi-model pass: per tile, entries group by model (nearest rank
+    # first — the compositor is front-to-back, mirroring the reference's
+    # back-to-front per-model draws, `src/tab/scene.rs:2299-2315`), sorted
+    # by depth within each model.
     ALPHA_BITS = 8
+    model_bits: int = 0
 
     @property
     def v2_depth_bits(self) -> int:
-        return 32 - self.tile_bits - self.ALPHA_BITS
+        return 32 - self.tile_bits - self.ALPHA_BITS - self.model_bits
+
+    @property
+    def _tile_shift(self) -> int:
+        return self.v2_depth_bits + self.ALPHA_BITS + self.model_bits
 
 
 @jax.tree_util.register_pytree_node_class
@@ -106,8 +116,10 @@ DEPTH_LN_MIN = -3.0  # ln(0.05)
 DEPTH_LN_MAX = 9.905  # ln(2e4)
 
 
-def depth_alpha_key_lo(depth, alpha, cfg: "TileConfig") -> jnp.ndarray:
-    """Low key bits: log-depth quantized over the fixed range | alpha u8."""
+def depth_alpha_key_lo(depth, alpha, cfg: "TileConfig", model_rank=None) -> jnp.ndarray:
+    """Low key bits: [model_rank |] log-depth quantized over the fixed
+    range | alpha u8. `model_rank` (traced u32 scalar, nearest model = 0)
+    only when cfg.model_bits > 0."""
     db = cfg.v2_depth_bits
     ld = jnp.log(jnp.maximum(depth, 1e-6))
     scale = float(2**db - 1) / (DEPTH_LN_MAX - DEPTH_LN_MIN)
@@ -119,7 +131,10 @@ def depth_alpha_key_lo(depth, alpha, cfg: "TileConfig") -> jnp.ndarray:
     alpha_u8 = (
         jnp.clip(alpha * 255.0 + 0.5, 0.0, 255.0).astype(jnp.int32).astype(jnp.uint32)
     )
-    return (dkey << jnp.uint32(cfg.ALPHA_BITS)) | alpha_u8
+    lo = (dkey << jnp.uint32(cfg.ALPHA_BITS)) | alpha_u8
+    if cfg.model_bits:
+        lo = lo | (jnp.uint32(model_rank) << jnp.uint32(db + cfg.ALPHA_BITS))
+    return lo
 
 
 def depth_key_bits(depth: jnp.ndarray, depth_bits: int) -> jnp.ndarray:
@@ -371,7 +386,7 @@ def _entry_planes_for_cell(
     tile_id = (ety * cfg.tiles_x + etx).astype(jnp.uint32)
     key = jnp.where(
         live,
-        (tile_id << jnp.uint32(cfg.v2_depth_bits + cfg.ALPHA_BITS)) | key_lo,
+        (tile_id << jnp.uint32(cfg._tile_shift)) | key_lo,
         jnp.uint32(0xFFFFFFFF),
     )
     # Mean relative to the entry's own tile origin, 1/16-px fixed point —
@@ -503,19 +518,20 @@ def _enumerate_entries(x, y, r, r2s, key_lo, p1_base, p2s, p3s, cfg, impl):
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "impl"))
-def build_sorted_entries(
-    pre: PreprocessOut, cfg: TileConfig, impl: str = "auto"
-) -> SortedEntries:
-    """Duplicate -> pack -> sort-with-payloads -> per-tile ranges.
+def enumerate_entries_from_pre(
+    pre: PreprocessOut, cfg: TileConfig, impl: str = "auto", model_rank=0
+):
+    """Duplicate + pack: unsorted flat (keys, p1, p2, p3) entry planes.
 
     `impl` selects the enumeration stage: "pallas" (TPU kernel), "jnp"
     (portable reference), "interpret" (Pallas interpret mode, for tests),
-    "auto" (pallas on TPU else jnp).
+    "auto" (pallas on TPU else jnp). `model_rank` keys the fused
+    multi-model pass (cfg.model_bits > 0, nearest model = 0).
     """
     x, y = pre.mean_x, pre.mean_y
 
     # --- per-splat precursors (N,) — fuse with whatever produced `pre` ---
-    key_lo = depth_alpha_key_lo(pre.depth, pre.alpha, cfg)
+    key_lo = depth_alpha_key_lo(pre.depth, pre.alpha, cfg, model_rank)
     r8 = jnp.clip(pre.col_r * 255.0 + 0.5, 0, 255).astype(jnp.uint32)
     g8 = jnp.clip(pre.col_g * 255.0 + 0.5, 0, 255).astype(jnp.uint32)
     b8 = jnp.clip(pre.col_b * 255.0 + 0.5, 0, 255).astype(jnp.uint32)
@@ -531,9 +547,17 @@ def build_sorted_entries(
     r2s = jnp.where(pre.valid, pre.radius * pre.radius, -1.0)
 
     # --- per-entry enumeration + packing (N*D,) ---
-    keys, p1, p2, p3 = _enumerate_entries(
+    return _enumerate_entries(
         x, y, pre.radius, r2s, key_lo, p1_base, p2s, p3s, cfg, impl
     )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "impl"))
+def build_sorted_entries(
+    pre: PreprocessOut, cfg: TileConfig, impl: str = "auto", model_rank=0
+) -> SortedEntries:
+    """Duplicate -> pack -> sort-with-payloads -> per-tile ranges."""
+    keys, p1, p2, p3 = enumerate_entries_from_pre(pre, cfg, impl, model_rank)
 
     from .sort import sort_entries_interleaved
 
@@ -546,7 +570,7 @@ def build_sorted_entries(
 def _tile_edges(sk, cfg: TileConfig):
     boundaries = (
         jnp.arange(cfg.n_tiles + 1, dtype=jnp.uint32)
-        << jnp.uint32(cfg.v2_depth_bits + cfg.ALPHA_BITS)
+        << jnp.uint32(cfg._tile_shift)
     )
     return jnp.searchsorted(sk, boundaries, side="left").astype(jnp.int32)
 
@@ -566,11 +590,7 @@ def _sorted_entries_from_interleaved(sk, inter, cfg: TileConfig) -> SortedEntrie
 
 def _sorted_entries_from_sorted(sk, s1, s2, s3, cfg: TileConfig) -> SortedEntries:
     """Shared tail: per-tile ranges + interleaved plane packing."""
-    boundaries = (
-        jnp.arange(cfg.n_tiles + 1, dtype=jnp.uint32)
-        << jnp.uint32(cfg.v2_depth_bits + cfg.ALPHA_BITS)
-    )
-    edges = jnp.searchsorted(sk, boundaries, side="left").astype(jnp.int32)
+    edges = _tile_edges(sk, cfg)
     tile_starts = edges[:-1]
     tile_counts = edges[1:] - edges[:-1]
 

@@ -221,7 +221,11 @@ def _kernel(
     )
 
     # --- enumeration precursors (ops/binning.py semantics) ---
-    key_lo = depth_alpha_key_lo(depth, alpha, cfg)
+    if cfg.model_bits:
+        rank = params_ref[38].astype(jnp.int32).astype(jnp.uint32)
+        key_lo = depth_alpha_key_lo(depth, alpha, cfg, rank)
+    else:
+        key_lo = depth_alpha_key_lo(depth, alpha, cfg)
     r8 = jnp.clip(col_r * 255.0 + 0.5, 0, 255).astype(jnp.int32).astype(jnp.uint32)
     g8 = jnp.clip(col_g * 255.0 + 0.5, 0, 255).astype(jnp.int32).astype(jnp.uint32)
     b8 = jnp.clip(col_b * 255.0 + 0.5, 0, 255).astype(jnp.int32).astype(jnp.uint32)
@@ -243,8 +247,9 @@ def _kernel(
         p3_ref[:, dcell, :] = p3s
 
 
-def _frame_params(view, proj, model, width, height, size):
-    """Pack the per-frame scalars the kernel needs into one (40,) f32."""
+def _frame_params(view, proj, model, width, height, size, model_rank=0):
+    """Pack the per-frame scalars the kernel needs into one (40,) f32.
+    Slot 38 carries the model rank for fused multi-model keys."""
     view = jnp.asarray(view, jnp.float32)
     proj = jnp.asarray(proj, jnp.float32)
     model = jnp.asarray(model, jnp.float32)
@@ -274,6 +279,7 @@ def _frame_params(view, proj, model, width, height, size):
         ),
         cam,
         jnp.asarray([0.1, 1e4], jnp.float32),  # z_near/z_far defaults
+        jnp.reshape(jnp.asarray(model_rank, jnp.float32), (1,)),
     ]
     out = jnp.concatenate(parts)
     return jnp.concatenate([out, jnp.zeros(40 - out.shape[0], jnp.float32)])
@@ -283,7 +289,7 @@ def _frame_params(view, proj, model, width, height, size):
     jax.jit,
     static_argnames=("comp", "cfg", "sh_degree", "no_sh0", "display_mode", "interpret"),
 )
-def build_sorted_entries_fused(
+def enumerate_entries_fused(
     pod: dict,
     comp: Compressions,
     cfg: TileConfig,
@@ -295,9 +301,13 @@ def build_sorted_entries_fused(
     size=1.0,
     display_mode: int = 0,
     interpret: bool = False,
-) -> SortedEntries:
-    """pod -> SortedEntries via the fused kernel + lax.sort tail."""
-    params = _frame_params(view, proj, model, cfg.width, cfg.height, size)
+    model_rank=0,
+):
+    """pod -> unsorted flat (keys, p1, p2, p3) entry planes (one fused
+    Pallas pass). `model_rank` keys the fused multi-model pass (requires
+    cfg.model_bits > 0; nearest model = rank 0)."""
+    params = _frame_params(view, proj, model, cfg.width, cfg.height, size,
+                           model_rank)
 
     pos = pod["pos"]
     rows_total = pos.shape[-2]
@@ -345,14 +355,41 @@ def build_sorted_entries_fused(
         out_shape=[out_shape] * 4,
         interpret=interpret,
     )(params, *ins)
+    return (keys.reshape(-1), p1.reshape(-1), p2.reshape(-1), p3.reshape(-1))
 
+
+def sort_and_range_entries(keys, p1, p2, p3, cfg: TileConfig) -> SortedEntries:
+    """Shared sort + per-tile-range tail over flat entry planes."""
     from .sort import sort_entries_interleaved
 
-    sk, inter, s1, s2, s3 = sort_entries_interleaved(
-        keys.reshape(-1), p1.reshape(-1), p2.reshape(-1), p3.reshape(-1)
-    )
+    sk, inter, s1, s2, s3 = sort_entries_interleaved(keys, p1, p2, p3)
     if inter is not None:
         from .binning import _sorted_entries_from_interleaved
 
         return _sorted_entries_from_interleaved(sk, inter, cfg)
     return _sorted_entries_from_sorted(sk, s1, s2, s3, cfg)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("comp", "cfg", "sh_degree", "no_sh0", "display_mode", "interpret"),
+)
+def build_sorted_entries_fused(
+    pod: dict,
+    comp: Compressions,
+    cfg: TileConfig,
+    view: jnp.ndarray,
+    proj: jnp.ndarray,
+    model: jnp.ndarray,
+    sh_degree: int = 3,
+    no_sh0: bool = False,
+    size=1.0,
+    display_mode: int = 0,
+    interpret: bool = False,
+) -> SortedEntries:
+    """pod -> SortedEntries via the fused kernel + Pallas merge sort."""
+    keys, p1, p2, p3 = enumerate_entries_fused(
+        pod, comp, cfg, view, proj, model, sh_degree, no_sh0, size,
+        display_mode, interpret
+    )
+    return sort_and_range_entries(keys, p1, p2, p3, cfg)

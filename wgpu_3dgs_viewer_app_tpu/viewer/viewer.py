@@ -29,8 +29,12 @@ from ..core.edit import GaussianEditPod, SelectionHighlightPod
 from ..core.transform import GaussianDisplayMode, GaussianTransform, ModelTransform
 from ..data.compression import Compressions
 from ..data.gaussian import Gaussians
-from ..ops.binning import TileConfig, build_sorted_entries
-from ..ops.fused import build_sorted_entries_fused
+from ..ops.binning import TileConfig, build_sorted_entries, enumerate_entries_from_pre
+from ..ops.fused import (
+    build_sorted_entries_fused,
+    enumerate_entries_fused,
+    sort_and_range_entries,
+)
 from ..ops.composite import (
     composite_tiles_jnp_v2,
     composite_tiles_pallas_v2,
@@ -277,11 +281,77 @@ class MultiModelViewer:
             self.show_highlight,
         )
 
+    def _model_entry_planes(self, key: str, cfg, rank, show_unedited: bool):
+        """One model's unsorted flat entry planes under `cfg` with
+        `model_rank` = rank (fused kernel when no gates are active, the
+        gated jnp preprocess otherwise)."""
+        m = self.models[key]
+        gt = self.gaussian_transform
+        gates_idle = not (
+            m.buffers.edits_active
+            or m.buffers.mask_active
+            or (m.buffers.selection_active and (self.selection_edit or self.show_highlight))
+        )
+        mmat = jnp.asarray(m.transform.matrix())
+        if self.use_pallas and gates_idle:
+            return enumerate_entries_fused(
+                m.buffers.pod, self.comp, cfg, self._view, self._proj, mmat,
+                sh_degree=gt.sh_deg.degree, no_sh0=gt.no_sh0,
+                size=jnp.float32(gt.size), display_mode=int(gt.display_mode),
+                model_rank=rank,
+            )
+        sel_edit = None
+        if self.selection_edit is not None and not show_unedited:
+            f, rgb, params = self.selection_edit.as_arrays()
+            sel_edit = (jnp.asarray(f), jnp.asarray(rgb), jnp.asarray(params))
+        edit = None
+        if not show_unedited:
+            edit = (m.buffers.edit_flags, m.buffers.edit_rgb, m.buffers.edit_params)
+        pre = preprocess(
+            m.buffers.pod, self.comp, self._view, self._proj, mmat,
+            cfg.width, cfg.height,
+            sh_degree=gt.sh_deg.degree, no_sh0=gt.no_sh0,
+            size=jnp.float32(gt.size), display_mode=int(gt.display_mode),
+            mask_bits=m.buffers.mask, edit=edit,
+            selection_bits=m.buffers.selection, selection_edit=sel_edit,
+            highlight_rgba=jnp.asarray(self.highlight.rgba, jnp.float32)
+            if self.show_highlight else None,
+        )
+        return enumerate_entries_from_pre(pre, cfg, model_rank=rank)
+
+    def _render_merged(self, order, show_unedited: bool):
+        """Fused multi-model frame: every model's entries carry a model
+        rank in the sort key (nearest model = 0), so ONE sort + ONE
+        compositing pass reproduce the reference's back-to-front per-model
+        draws exactly (the over operator is associative)."""
+        import dataclasses as _dc
+
+        n = len(order)
+        mbits = max(1, (n - 1).bit_length())
+        cfg_m = _dc.replace(self.cfg, model_bits=mbits)
+        parts = [
+            self._model_entry_planes(key, cfg_m, jnp.uint32(n - 1 - i),
+                                     show_unedited)
+            for i, key in enumerate(order)  # order is back-to-front
+        ]
+        keys, p1, p2, p3 = (
+            jnp.concatenate([p[j] for p in parts]) for j in range(4)
+        )
+        entries = sort_and_range_entries(keys, p1, p2, p3, cfg_m)
+        flat = int(self.gaussian_transform.display_mode) != 0
+        if self.use_pallas:
+            img = composite_tiles_pallas_v2(entries, cfg_m, flat_mode=flat)
+        else:
+            img = composite_tiles_jnp_v2(entries, cfg_m, flat_mode=flat)
+        return over_background(img, self.background)
+
     def render(self, camera: Optional[CameraTrait] = None, show_unedited: bool = False):
         """Full frame -> (H, W, 3) f32 over background.
 
-        Per-model passes blended back-to-front, matching the reference's
-        per-model sorted draws (`src/tab/scene.rs:2299-2315`).
+        Multi-model frames run the merged single-sort pipeline (model rank
+        in the key); the result is identical to per-model passes blended
+        back-to-front, matching the reference's per-model sorted draws
+        (`src/tab/scene.rs:2299-2315`).
         """
         if camera is not None:
             self.update_camera(camera)
@@ -291,6 +361,8 @@ class MultiModelViewer:
                 jnp.asarray(self.background, jnp.float32),
                 (self.cfg.height, self.cfg.width, 3),
             )
+        if len(order) > 1:
+            return self._render_merged(order, show_unedited)
         acc = None
         for key in order:
             img = self.render_model(key, show_unedited=show_unedited)
