@@ -88,6 +88,53 @@ def time_frames(step, args, iters=10, warmup=2):
     return (time.perf_counter() - t0) / iters
 
 
+def bench_breakdown(comp, pod, view, proj, cfg):
+    """Per-stage device time of the headline frame: cumulative pipelined
+    timings of (front-end), (front-end + sort), (full frame) — differences
+    give the stage split (each prefix is its own jit; the front-end's
+    output planes are reduced to force materialization)."""
+    import jax
+    import jax.numpy as jnp
+
+    from wgpu_3dgs_viewer_app_tpu.ops.fused import (
+        enumerate_entries_fused,
+        sort_and_range_entries,
+    )
+    from wgpu_3dgs_viewer_app_tpu.ops import composite_tiles_pallas_v2
+
+    @jax.jit
+    def fe(pod, view, proj):
+        ks, p1, p2, p3 = enumerate_entries_fused(
+            pod, comp, cfg, view, proj, jnp.eye(4), sh_degree=3, display_mode=0
+        )
+        return (ks[::65536].astype(jnp.uint32) ^ p1[::65536] ^ p2[::65536]
+                ^ p3[::65536]).astype(jnp.float32)
+
+    @jax.jit
+    def fe_sort(pod, view, proj):
+        ks, p1, p2, p3 = enumerate_entries_fused(
+            pod, comp, cfg, view, proj, jnp.eye(4), sh_degree=3, display_mode=0
+        )
+        ent = sort_and_range_entries(ks, p1, p2, p3, cfg)
+        return ent.planes[::4096, 0, :1].astype(jnp.float32)
+
+    @jax.jit
+    def full(pod, view, proj):
+        ks, p1, p2, p3 = enumerate_entries_fused(
+            pod, comp, cfg, view, proj, jnp.eye(4), sh_degree=3, display_mode=0
+        )
+        ent = sort_and_range_entries(ks, p1, p2, p3, cfg)
+        return composite_tiles_pallas_v2(ent, cfg, flat_mode=False)
+
+    t_fe = time_frames(fe, (pod, view, proj), iters=10)
+    t_fs = time_frames(fe_sort, (pod, view, proj), iters=10)
+    t_full = time_frames(full, (pod, view, proj), iters=10)
+    log(
+        f"breakdown: front-end {t_fe*1e3:.1f} ms | sort {((t_fs-t_fe))*1e3:.1f} ms"
+        f" | composite+tail {(t_full-t_fs)*1e3:.1f} ms | total {t_full*1e3:.1f} ms"
+    )
+
+
 def bench_config2(results):
     """BASELINE config 2: 3 models, per-model transforms + color edits,
     composited back-to-front in one frame (ref multi-model scene)."""
@@ -236,6 +283,11 @@ def main():
         action="store_true",
         help="skip BASELINE configs 2-4 (multi-model / selection / mask)",
     )
+    ap.add_argument(
+        "--breakdown",
+        action="store_true",
+        help="per-stage device timing of the headline config (front-end / sort / composite)",
+    )
     args = ap.parse_args()
 
     backend = jax.default_backend()
@@ -270,6 +322,9 @@ def main():
     fps = 1.0 / dt
     results["config1_6m_1080p_fps"] = fps
     log(f"config1 ({n} splat 1080p SH3): {dt*1000:.2f} ms = {fps:.1f} fps")
+
+    if args.breakdown:
+        bench_breakdown(comp, pod, view, proj, cfg)
 
     if not args.headline_only:
         bench_config2(results)
