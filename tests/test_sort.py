@@ -75,3 +75,26 @@ def test_merge_sort_all_sentinel():
     ks = np.asarray(merge_sort(*(jnp.asarray(a) for a in (k, p, p, p)),
                                interpret=True)[0])
     assert np.all(ks == SENT)
+
+
+def test_merge_sort_interleaved_interpret():
+    """interleaved=True must return (flat_keys, (R, 4, 128)) with plane 0
+    duplicating the keys and payloads travelling with their key."""
+    e = 4 * BLOCK
+    k, p1, p2, p3 = _mk(e, 0.4, 1 << 20, seed=5)
+    out = merge_sort(*(jnp.asarray(a) for a in (k, p1, p2, p3)),
+                     interpret=True, interleaved=True)
+    assert len(out) == 2
+    sk, inter = np.asarray(out[0]), np.asarray(out[1])
+    assert inter.ndim == 3 and inter.shape[1] == 4 and inter.shape[2] == 128
+    nlive = int((k != SENT).sum())
+    assert np.array_equal(np.sort(k[k != SENT]), sk[:nlive])
+    assert np.all(sk[nlive:] == SENT)
+    # interleaved plane 0 rows must equal the flat keys (within live rows)
+    live_rows = nlive // 128
+    assert np.array_equal(inter[:live_rows, 0, :].ravel(), sk[: live_rows * 128])
+    # payload pairing via interleaved plane 1 (p1 = unique ids)
+    s1 = inter[:, 1, :].ravel()[:nlive]
+    want = sorted(zip(k[k != SENT].tolist(), p1[k != SENT].tolist()))
+    got = sorted(zip(sk[:nlive].tolist(), s1.tolist()))
+    assert want == got

@@ -107,12 +107,9 @@ def _compare_exchange(ops, j, dir_up, lane_iota, row_iota):
     return out
 
 
-def _dir_up_mask(krun, lane_iota, row_iota, ascending_final: bool):
-    """Direction mask for run size `krun` (entries with (e & krun) == 0 sort
-    ascending). krun == 0 means the final monotonic merge (all one way)."""
-    if krun == 0:
-        full = jnp.bool_(ascending_final)
-        return jnp.broadcast_to(full, lane_iota.shape)
+def _dir_up_mask(krun, lane_iota, row_iota):
+    """Direction mask for run size `krun`: entries whose index bit
+    log2(krun) is clear sort ascending."""
     if krun < LANES:
         return (lane_iota & krun) == 0
     return (row_iota & (krun // LANES)) == 0
@@ -139,7 +136,7 @@ def _block_sort_body(ops, rows: int, block_rows: int = None):
         # ALTERNATING asc/desc — exactly what the merge levels consume
         # (bitonic [asc | desc] pairs, no data reversal ever materializes).
         # Requires an even tile count per grid cell (asserted by callers).
-        dir_up = _dir_up_mask(size, lane_iota, row_iota, True)
+        dir_up = _dir_up_mask(size, lane_iota, row_iota)
         j = size // 2
         while j >= 1:
             ops = _compare_exchange(ops, j, dir_up, lane_iota, row_iota)
