@@ -217,23 +217,22 @@ def block_sort(keys, p1, p2, p3, interpret: bool = False):
 #
 # Runs therefore become RAGGED (row-aligned starts, data-dependent stored
 # lengths). All rank arithmetic is capacity-based with capacity := stored
-# size, so sentinels participate as ordinary +inf values and the kernel
-# needs no fill or skip special cases. Per level:
+# size, so sentinels participate as ordinary +inf values. Per level:
 #
-#   * XLA (`_ragged_level_meta`): pair arithmetic on (nruns,) arrays, a
-#     vectorized merge-path binary search per cell boundary, DMA (row,
-#     delta) coordinates, and the output row offsets (exclusive cumsum).
-#     Grid size must be static, so it is sized for the worst case and
-#     surplus cells no-op.
+#   * XLA (`_ragged_level_meta`): pair arithmetic on (nruns,) arrays, one
+#     batched merge-path binary search for every cell boundary, DMA (row,
+#     delta) coordinates, and output row offsets (exclusive cumsum plus a
+#     private CHUNK_ROWS spill pad per pair, so no two cells ever write
+#     overlapping rows). Grid size must be static, so it is sized for the
+#     worst case and surplus cells no-op (always a suffix of the grid).
 #   * Kernel (`_merge_kernel`): double-buffered piece DMA in, cyclic-shift
 #     realignment (dynamic rolls), [asc piece | desc piece] concatenation
-#     (bitonic by construction), log2(CHUNK)-stage bitonic merge in the
-#     cell's output direction, manual chunk DMA out. A cell's static-size
-#     output write may spill past its pair's stored region into the next
-#     pair's rows; later cells overwrite the spill, and out-DMAs are
-#     serialized on one semaphore chain so the overlap is ordered (they
-#     still overlap compute). The buffer carries CHUNK_ROWS of pad for the
-#     last pair's spill, sentinel-filled afterwards.
+#     (bitonic by construction; rank windows clipped at the pair's capacity
+#     are padded +inf at the peak for ASC cells / -inf at the tail for DESC
+#     cells so the pad sorts into the spill rows), log2(CHUNK)-stage
+#     bitonic merge in the cell's output direction, then an unordered
+#     manual chunk DMA out (2-deep pipelined for buffer reuse). The final
+#     buffer's tail is sentinel-restored for the downstream searchsorted.
 # ---------------------------------------------------------------------------
 
 CHUNK_ROWS = 256
