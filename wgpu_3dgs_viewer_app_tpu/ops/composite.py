@@ -339,6 +339,9 @@ def _gaussian_alpha(op, mx, my, ca, cb, cc, px, py, live, flat_mode):
 
 
 def _alpha_from_power(power, op, live, flat_mode):
+    # Dead entries zero out through the per-entry opacity row (live is
+    # (1, C)) — one narrow select instead of a (P, C) boolean term.
+    op = jnp.where(live, op, 0.0)
     if flat_mode:
         a = jnp.where(power >= FLAT_POWER_CUTOFF, op, 0.0)
         a = jnp.broadcast_to(a, power.shape)
@@ -349,7 +352,7 @@ def _alpha_from_power(power, op, live, flat_mode):
         # flips the center pixel between full alpha and a hole.
         a = op * jnp.exp(jnp.minimum(power, 0.0))
     a = jnp.minimum(a, ALPHA_MAX)
-    return jnp.where((a < ALPHA_EPS) | ~live, 0.0, a)
+    return jnp.where(a < ALPHA_EPS, 0.0, a)
 
 
 def _chunk_alpha_mxu(key, p1, p2, p3, f_mat, live):
