@@ -237,6 +237,31 @@ class GaussianSplattingSession:
             model.center = model.gaussians.center()
         if loader.finished:
             self.loader = None
+            self._auto_frame(model)
+
+    def _auto_frame(self, model) -> None:
+        """Frame the default orbit camera on the first fully-loaded model:
+        the session has no CLI --distance, and the default 1-unit arm sits
+        INSIDE typical scenes (every splat projects enormous and the
+        max_dup tile truncation becomes the whole image). Only moves a
+        camera still at its default; user navigation is never overridden."""
+        import numpy as np
+
+        from ..core.camera import CameraOrbitControl
+
+        ctl = self.camera.control
+        if not isinstance(ctl, CameraOrbitControl):
+            return
+        if not (np.allclose(ctl.target, 0.0) and np.allclose(ctl.pos, (0, 0, -1))):
+            return
+        if model.gaussians is None or len(model.gaussians) == 0:
+            return
+        pos = model.gaussians.pos
+        center = model.center
+        radius = float(np.quantile(np.linalg.norm(pos - center[None, :], axis=1), 0.95))
+        arm = max(2.0 * radius, 0.5)
+        ctl.target = np.asarray(center, np.float32)
+        ctl.pos = np.asarray(center + np.array([0.0, 0.0, -arm]), np.float32)
 
     def _drain_commands(self) -> None:
         while True:
