@@ -556,12 +556,17 @@ def enumerate_entries_from_pre(
 def build_sorted_entries(
     pre: PreprocessOut, cfg: TileConfig, impl: str = "auto", model_rank=0
 ) -> SortedEntries:
-    """Duplicate -> pack -> sort-with-payloads -> per-tile ranges."""
+    """Duplicate -> pack -> sort-with-payloads -> per-tile ranges.
+
+    `impl` routes BOTH the enumeration and the sort: "jnp" forces the
+    portable XLA path even when the default backend is a TPU (needed when
+    compiling for an explicit CPU mesh, e.g. the multichip dryrun)."""
     keys, p1, p2, p3 = enumerate_entries_from_pre(pre, cfg, impl, model_rank)
 
     from .sort import sort_entries_interleaved
 
-    sk, inter, s1, s2, s3 = sort_entries_interleaved(keys, p1, p2, p3)
+    sort_impl = {"jnp": "xla", "interpret": "interpret"}.get(impl, "auto")
+    sk, inter, s1, s2, s3 = sort_entries_interleaved(keys, p1, p2, p3, impl=sort_impl)
     if inter is not None:
         return _sorted_entries_from_interleaved(sk, inter, cfg)
     return _sorted_entries_from_sorted(sk, s1, s2, s3, cfg)

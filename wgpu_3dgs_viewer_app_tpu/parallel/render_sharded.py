@@ -144,7 +144,7 @@ def render_frame_sharded(
         did = jax.lax.axis_index(axis)
         y0 = did * slab_h
         pre_slab = _clip_to_slab(pre_full, y0, slab_h)
-        entries = build_sorted_entries(pre_slab, slab_cfg)
+        entries = build_sorted_entries(pre_slab, slab_cfg, impl="pallas" if use_pallas else "jnp")
         flat = display_mode != 0
         if use_pallas:
             img = composite_tiles_pallas_v2(entries, slab_cfg, flat_mode=flat)
