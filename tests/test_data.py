@@ -148,3 +148,106 @@ def test_bake_edits_hidden_and_alpha():
     )
     # untouched splats identical
     np.testing.assert_array_equal(out.opacity[2:], g.opacity[2:])
+
+
+def _ply_bytes(g):
+    buf = io.BytesIO()
+    write_ply(buf, g)
+    return buf.getvalue()
+
+
+def test_ply_corrupt_records_skipped_not_fatal():
+    """A corrupt-in-the-middle PLY loads the valid remainder, counting the
+    skipped records (ref `src/tab/scene.rs:352-356` logs-and-skips)."""
+    from wgpu_3dgs_viewer_app_tpu.data import PlyReadStats
+
+    g = make_random_scene(300, seed=7)
+    raw = bytearray(_ply_bytes(g))
+    header_len = raw.index(b"end_header\n") + len(b"end_header\n")
+    rec_size = 62 * 4
+    # Poison records 50 and 199 with NaNs across their whole payload.
+    for bad in (50, 199):
+        start = header_len + bad * rec_size
+        raw[start:start + rec_size] = np.full(62, np.nan, "<f4").tobytes()
+    stats = PlyReadStats()
+    g2 = read_ply(io.BytesIO(bytes(raw)), stats)
+    assert g2.count == 298
+    assert stats.skipped == 2
+    assert stats.truncated == 0
+    keep = np.ones(300, bool)
+    keep[[50, 199]] = False
+    np.testing.assert_array_equal(g2.pos, g.pos[keep])
+
+
+def test_ply_truncated_tail_yields_valid_prefix():
+    from wgpu_3dgs_viewer_app_tpu.data import PlyReadStats
+
+    g = make_random_scene(200, seed=8)
+    raw = _ply_bytes(g)
+    header_len = raw.index(b"end_header\n") + len(b"end_header\n")
+    cut = raw[: header_len + 120 * 62 * 4 + 17]  # mid-record truncation
+    stats = PlyReadStats()
+    g2 = read_ply(io.BytesIO(cut), stats)
+    assert g2.count == 120
+    assert stats.truncated == 80
+    np.testing.assert_array_equal(g2.pos, g.pos[:120])
+
+
+def test_ply_big_endian_roundtrip():
+    """The byteswap path: a big-endian PLY decodes identically."""
+    g = make_random_scene(128, seed=9)
+    raw = _ply_bytes(g)
+    header_len = raw.index(b"end_header\n") + len(b"end_header\n")
+    head = raw[:header_len].replace(b"binary_little_endian", b"binary_big_endian")
+    body = np.frombuffer(raw[header_len:], "<f4").astype(">f4").tobytes()
+    g2 = read_ply(io.BytesIO(head + body))
+    assert g2.count == 128
+    np.testing.assert_array_equal(g2.pos, g.pos)
+    np.testing.assert_array_equal(g2.sh_rest, g.sh_rest)
+    np.testing.assert_array_equal(g2.rot, g.rot)
+
+
+def test_ply_ascii_roundtrip_and_bad_lines():
+    from wgpu_3dgs_viewer_app_tpu.data import PlyReadStats
+    from wgpu_3dgs_viewer_app_tpu.data.gaussian import PLY_PROPERTIES
+
+    g = make_random_scene(40, seed=10)
+    pods = g.to_pod_records()
+    lines = [b"ply\n", b"format ascii 1.0\n", b"element vertex 42\n"]
+    lines += [f"property float {n}\n".encode() for n in PLY_PROPERTIES]
+    lines.append(b"end_header\n")
+    rows = [
+        b" ".join(repr(float(pods[i][n])).encode() for n in PLY_PROPERTIES) + b"\n"
+        for i in range(40)
+    ]
+    # Inject one short line and one non-numeric line (both must be skipped).
+    rows.insert(10, b"1.0 2.0 3.0\n")
+    rows.insert(25, b" ".join([b"xyz"] * 62) + b"\n")
+    stats = PlyReadStats()
+    g2 = read_ply(io.BytesIO(b"".join(lines + rows)), stats)
+    assert g2.count == 40
+    assert stats.skipped == 2
+    np.testing.assert_allclose(g2.pos, g.pos, rtol=1e-6)
+
+
+def test_streaming_loader_finishes_with_skipped_records():
+    from wgpu_3dgs_viewer_app_tpu.app.loader import StreamingLoader
+
+    g = make_random_scene(500, seed=11)
+    raw = bytearray(_ply_bytes(g))
+    header_len = raw.index(b"end_header\n") + len(b"end_header\n")
+    rec_size = 62 * 4
+    start = header_len + 250 * rec_size
+    raw[start:start + rec_size] = np.full(62, np.inf, "<f4").tobytes()
+    loader = StreamingLoader(io.BytesIO(bytes(raw)), chunk_size=100)
+    import time
+
+    total = 0
+    for _ in range(200):
+        total += loader.drain(budget_s=0.5)
+        if loader.finished:
+            break
+        time.sleep(0.01)  # frame pacing: give the parser thread a slot
+    assert loader.finished and loader.error is None
+    assert total == 499
+    assert loader.stats.skipped == 1

@@ -299,3 +299,50 @@ def test_fused_kernel_matches_two_stage():
             np.asarray(img_a), np.asarray(img_b), atol=1e-5,
             err_msg=f"comp={comp} deg={deg} mode={mode}",
         )
+
+
+def test_fused_model_rank_in_keys():
+    """Regression: the fused kernel must read the model rank from the same
+    params slot the packer writes (fused.MODEL_RANK_SLOT). With a wrong slot
+    every model keys as rank 0 and multi-model layering silently degrades."""
+    from wgpu_3dgs_viewer_app_tpu.ops import build_sorted_entries, composite_tiles_jnp_v2
+    from wgpu_3dgs_viewer_app_tpu.ops.fused import (
+        enumerate_entries_fused,
+        sort_and_range_entries,
+    )
+    from wgpu_3dgs_viewer_app_tpu.ops.sort import SENTINEL
+
+    comp = FULL
+    scene = make_random_scene(400, seed=3, extent=1.2, scale_range=(0.01, 0.05))
+    pod = {k: jnp.asarray(v) for k, v in pack_gaussians(scene, comp).items()}
+    cam = CameraOrbitControl(target=(0, 0, 0), pos=(0, 0, -4))
+    view, proj = jnp.asarray(cam.view()), jnp.asarray(cam.projection(1.0))
+    cfg = TileConfig(128, 128, tile=16, max_dup=8, model_bits=2)
+    rank = 2
+    keys, p1, p2, p3 = enumerate_entries_fused(
+        pod, comp, cfg, view, proj, jnp.eye(4), sh_degree=1,
+        interpret=True, model_rank=rank,
+    )
+    k = np.asarray(keys)
+    live = k != SENTINEL
+    assert live.any()
+    shift = cfg.v2_depth_bits + cfg.ALPHA_BITS
+    got_ranks = (k[live] >> shift) & ((1 << cfg.model_bits) - 1)
+    assert (got_ranks == rank).all(), "model rank bits missing from fused keys"
+
+    # Full parity with the two-stage path at the same rank.
+    pre = preprocess(pod, comp, view, proj, jnp.eye(4), 128, 128, sh_degree=1)
+    a = build_sorted_entries(pre, cfg, impl="jnp", model_rank=rank)
+    b = sort_and_range_entries(keys, p1, p2, p3, cfg)
+    np.testing.assert_array_equal(np.asarray(a.tile_counts), np.asarray(b.tile_counts))
+    img_a = composite_tiles_jnp_v2(a, cfg)
+    img_b = composite_tiles_jnp_v2(b, cfg)
+    np.testing.assert_allclose(np.asarray(img_a), np.asarray(img_b), atol=1e-5)
+
+
+def test_tile_config_depth_bits_guard():
+    cfg = TileConfig(1920, 1080, tile=16, max_dup=8, model_bits=2)
+    assert cfg.v2_depth_bits >= TileConfig.MIN_DEPTH_BITS
+    bad = TileConfig(1920, 1080, tile=16, max_dup=8, model_bits=12)
+    with pytest.raises(ValueError):
+        _ = bad.v2_depth_bits

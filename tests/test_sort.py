@@ -59,6 +59,7 @@ def test_block_sort_interpret(frac):
 
 @pytest.mark.parametrize("e,frac,span", [
     (BLOCK, 0.3, 1 << 32),       # single block
+    (3 * BLOCK, 0.4, 1 << 24),   # odd block count (sentinel pad block path)
     (4 * BLOCK, 0.44, 1 << 16),  # duplicate keys across blocks
     (16 * BLOCK, 0.5, 1 << 32),  # exercises split merge levels
 ])

@@ -20,7 +20,7 @@ import time
 from typing import BinaryIO, Callable, Optional
 
 from ..data.gaussian import Gaussians
-from ..data.ply import read_ply_chunks, read_ply_header
+from ..data.ply import PlyReadStats, read_ply_chunks, read_ply_header
 from ..utils.tasks import exec_task
 
 # Reference pacing (src/tab/scene.rs:358-364).
@@ -36,12 +36,18 @@ class StreamingLoader:
         self.count = self.header.count
         self.received = 0
         self.error: Optional[str] = None
+        # Malformed records are skipped and counted, not fatal
+        # (ref `src/tab/scene.rs:352-356`): `stats.dropped` is surfaced in
+        # the UI state alongside the progress bar.
+        self.stats = PlyReadStats()
+        self._done = False
         self._q: queue.Queue = queue.Queue(maxsize=64)
         self._thread = exec_task(self._run, reader, chunk_size)
 
     def _run(self, reader, chunk_size):
         try:
-            for chunk in read_ply_chunks(reader, self.header, chunk_size):
+            for chunk in read_ply_chunks(reader, self.header, chunk_size,
+                                         stats=self.stats):
                 self._q.put(chunk)
         except Exception as e:  # per-splat errors surfaced, not fatal to the app
             self.error = str(e)
@@ -50,7 +56,7 @@ class StreamingLoader:
 
     @property
     def finished(self) -> bool:
-        return self.received >= self.count or self.error is not None
+        return self._done or self.error is not None
 
     def drain(self, budget_s: float = DRAIN_BUDGET_S, on_chunk: Optional[Callable] = None):
         """Drain available chunks within the time budget.
@@ -66,6 +72,7 @@ class StreamingLoader:
             except queue.Empty:
                 break
             if chunk is None:
+                self._done = True
                 break
             if on_chunk is not None:
                 on_chunk(self.received, chunk)

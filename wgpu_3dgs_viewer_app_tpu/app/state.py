@@ -195,6 +195,18 @@ class GaussianSplattingSession:
         self.fps = FpsCounter()
         self.mask_evaluator = MaskEvaluator()
         self._pending_hit: Optional[tuple] = None  # (pair_idx, hit_idx)
+        # Snapshot of the as-constructed camera pose: _auto_frame only moves
+        # a camera nobody has repositioned since construction (CLI flags and
+        # user input both make the current pose diverge from this snapshot).
+        self._camera_initial_pose = self._camera_pose()
+
+    def _camera_pose(self):
+        import numpy as np
+
+        ctl = self.camera.control
+        if hasattr(ctl, "target"):
+            return (np.array(ctl.target, np.float32), np.array(ctl.pos, np.float32))
+        return (np.array(ctl.pos, np.float32),)
 
     # --- model loading (ref src/app.rs:1048-1096, src/tab/scene.rs:340-458) --
 
@@ -252,7 +264,10 @@ class GaussianSplattingSession:
         ctl = self.camera.control
         if not isinstance(ctl, CameraOrbitControl):
             return
-        if not (np.allclose(ctl.target, 0.0) and np.allclose(ctl.pos, (0, 0, -1))):
+        pose = self._camera_pose()
+        if len(pose) != len(self._camera_initial_pose) or not all(
+            np.allclose(a, b) for a, b in zip(pose, self._camera_initial_pose)
+        ):
             return
         if model.gaussians is None or len(model.gaussians) == 0:
             return

@@ -108,13 +108,54 @@ def _records_to_pods(records: np.ndarray) -> np.ndarray:
     return out
 
 
+@dataclasses.dataclass
+class PlyReadStats:
+    """Per-record fault tolerance counters (reference logs-and-skips
+    malformed splats instead of aborting the load,
+    `src/tab/scene.rs:352-356`)."""
+
+    skipped: int = 0    # malformed records dropped (non-finite / unparseable)
+    truncated: int = 0  # records missing: EOF before the declared count
+
+    @property
+    def dropped(self) -> int:
+        return self.skipped + self.truncated
+
+
+def _finite_keep(pods: np.ndarray) -> np.ndarray:
+    """Keep mask: every field of the 62-f32 pod must be finite. NaN/Inf in
+    any field would poison transforms/covariances device-side."""
+    flat = pods.view(np.float32).reshape(len(pods), -1)
+    return np.isfinite(flat).all(axis=1)
+
+
+def _yield_pods(pods: np.ndarray, stats: Optional[PlyReadStats]):
+    keep = _finite_keep(pods)
+    n_bad = int(len(pods) - keep.sum())
+    if n_bad:
+        if stats is not None:
+            stats.skipped += n_bad
+        pods = pods[keep]
+    if len(pods):
+        return Gaussians.from_pod_records(pods)
+    return None
+
+
 def read_ply_chunks(
-    reader: BinaryIO, header: PlyHeader, chunk_size: int = 65536
+    reader: BinaryIO,
+    header: PlyHeader,
+    chunk_size: int = 65536,
+    stats: Optional[PlyReadStats] = None,
 ) -> Iterator[Gaussians]:
     """Stream the vertex data as `Gaussians` chunks (the lazy iterator of
-    `read_ply_gaussians`, ref `src/app.rs:1062-1066`, but chunk-granular)."""
+    `read_ply_gaussians`, ref `src/app.rs:1062-1066`, but chunk-granular).
+
+    Malformed records are skipped and counted in `stats` rather than
+    aborting the load (ref `src/tab/scene.rs:352-356`): binary records with
+    non-finite fields are dropped; ASCII lines that fail to parse are
+    dropped; a truncated binary tail yields the valid remainder."""
     if header.fmt == "ascii":
-        yield from _read_ascii_chunks(reader, header, chunk_size)
+        yield from _read_ascii_chunks(reader, header, chunk_size, stats)
         return
     dtype = header.dtype
     if header.fmt == "binary_big_endian":
@@ -125,52 +166,76 @@ def read_ply_chunks(
         buf = reader.read(n * dtype.itemsize)
         if len(buf) < n * dtype.itemsize:
             n_have = len(buf) // dtype.itemsize
-            if n_have == 0:
+            if n_have == 0 and remaining == header.count:
                 raise PlyError("unexpected EOF in PLY vertex data")
+            if stats is not None:
+                stats.truncated += remaining - n_have
             buf = buf[: n_have * dtype.itemsize]
             n = n_have
             remaining = n  # force exit after yielding what we have
+            if n == 0:
+                return
         records = np.frombuffer(buf, dtype=dtype, count=n)
         if header.fmt == "binary_big_endian":
             records = records.astype(header.dtype)
-        yield Gaussians.from_pod_records(_records_to_pods(records))
+        chunk = _yield_pods(_records_to_pods(records), stats)
+        if chunk is not None:
+            yield chunk
         remaining -= n
 
 
-def _read_ascii_chunks(reader, header: PlyHeader, chunk_size: int):
+def _read_ascii_chunks(reader, header: PlyHeader, chunk_size: int,
+                       stats: Optional[PlyReadStats] = None):
     names = [n for n, _ in header.properties]
+    nf = len(names)
     remaining = header.count
     rows = []
+
+    def flush():
+        arr = np.asarray(rows, np.float32)
+        rec = np.core.records.fromarrays(
+            [arr[:, i] for i in range(nf)], names=names, formats=["<f4"] * nf
+        )
+        return _yield_pods(_records_to_pods(rec), stats)
+
     for line in reader:
+        if remaining == 0:
+            break
         vals = line.split()
         if not vals:
             continue
-        rows.append([float(v) for v in vals])
         remaining -= 1
+        if len(vals) != nf:
+            if stats is not None:
+                stats.skipped += 1
+            continue
+        try:
+            rows.append([float(v) for v in vals])
+        except ValueError:
+            if stats is not None:
+                stats.skipped += 1
+            continue
         if len(rows) >= chunk_size or remaining == 0:
-            arr = np.asarray(rows, np.float32)
-            rec = np.core.records.fromarrays(
-                [arr[:, i] for i in range(len(names))], names=names, formats=["<f4"] * len(names)
-            )
-            yield Gaussians.from_pod_records(_records_to_pods(rec))
+            chunk = flush()
+            if chunk is not None:
+                yield chunk
             rows = []
-        if remaining == 0:
-            break
+    if stats is not None and remaining > 0:
+        stats.truncated += remaining
     if rows:
-        arr = np.asarray(rows, np.float32)
-        rec = np.core.records.fromarrays(
-            [arr[:, i] for i in range(len(names))], names=names, formats=["<f4"] * len(names)
-        )
-        yield Gaussians.from_pod_records(_records_to_pods(rec))
+        chunk = flush()
+        if chunk is not None:
+            yield chunk
 
 
-def read_ply(path_or_reader) -> Gaussians:
-    """Read a whole PLY into one `Gaussians`."""
+def read_ply(path_or_reader, stats: Optional[PlyReadStats] = None) -> Gaussians:
+    """Read a whole PLY into one `Gaussians`. Pass a `PlyReadStats` to
+    observe skipped/truncated record counts."""
     if isinstance(path_or_reader, (str, bytes)):
         with open(path_or_reader, "rb") as f:
-            return read_ply(f)
+            return read_ply(f, stats)
     header = read_ply_header(path_or_reader)
-    chunks = list(read_ply_chunks(path_or_reader, header))
+    chunks = list(read_ply_chunks(path_or_reader, header, stats=stats))
     if not chunks:
         return Gaussians.empty(0)
     return Gaussians.concat(chunks)

@@ -77,9 +77,23 @@ class TileConfig:
     ALPHA_BITS = 8
     model_bits: int = 0
 
+    # Minimum acceptable depth-key resolution: below this the log-depth
+    # quantization gets coarse enough to visibly misorder splats. model_bits
+    # eats depth precision directly (1080p/13 tile bits leaves 11; 3 model
+    # bits drop it to 8) — callers picking mbits (viewer._render_merged)
+    # must keep within this floor or the constructor refuses the layout.
+    MIN_DEPTH_BITS = 6
+
     @property
     def v2_depth_bits(self) -> int:
-        return 32 - self.tile_bits - self.ALPHA_BITS - self.model_bits
+        bits = 32 - self.tile_bits - self.ALPHA_BITS - self.model_bits
+        if bits < self.MIN_DEPTH_BITS:
+            raise ValueError(
+                f"key layout leaves {bits} depth bits "
+                f"(tile_bits={self.tile_bits}, model_bits={self.model_bits}); "
+                f"need >= {self.MIN_DEPTH_BITS} — reduce model count or tile count"
+            )
+        return bits
 
     @property
     def _tile_shift(self) -> int:

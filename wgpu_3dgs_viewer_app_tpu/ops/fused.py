@@ -52,6 +52,12 @@ ROWS_PER_BLOCK = 128  # 16k splats per grid step; 256 rows OOMs the 16 MB VMEM
 # stack at norm8-SH shapes (measured 16.13 MB with double-buffered pipelining
 # + ~50 live (Rb, 128) f32 temporaries)
 
+# Index of the model rank in the packed frame-params vector. The packer
+# (_frame_params) and the kernel must agree: 9 (model 3x3) + 3 (model t)
+# + 9 (view 3x3) + 3 (view t) + 8 (intrinsics) + 3 (cam) + 2 (z range) = 37
+# elements precede it.
+MODEL_RANK_SLOT = 37
+
 
 class _Mat:
     """Adapter so the component-form covariance helpers (which index
@@ -222,7 +228,7 @@ def _kernel(
 
     # --- enumeration precursors (ops/binning.py semantics) ---
     if cfg.model_bits:
-        rank = params_ref[38].astype(jnp.int32).astype(jnp.uint32)
+        rank = params_ref[MODEL_RANK_SLOT].astype(jnp.int32).astype(jnp.uint32)
         key_lo = depth_alpha_key_lo(depth, alpha, cfg, rank)
     else:
         key_lo = depth_alpha_key_lo(depth, alpha, cfg)
@@ -249,7 +255,7 @@ def _kernel(
 
 def _frame_params(view, proj, model, width, height, size, model_rank=0):
     """Pack the per-frame scalars the kernel needs into one (40,) f32.
-    Slot 38 carries the model rank for fused multi-model keys."""
+    Slot MODEL_RANK_SLOT carries the model rank for fused multi-model keys."""
     view = jnp.asarray(view, jnp.float32)
     proj = jnp.asarray(proj, jnp.float32)
     model = jnp.asarray(model, jnp.float32)
@@ -282,6 +288,7 @@ def _frame_params(view, proj, model, width, height, size, model_rank=0):
         jnp.reshape(jnp.asarray(model_rank, jnp.float32), (1,)),
     ]
     out = jnp.concatenate(parts)
+    assert out.shape[0] == MODEL_RANK_SLOT + 1, out.shape
     return jnp.concatenate([out, jnp.zeros(40 - out.shape[0], jnp.float32)])
 
 

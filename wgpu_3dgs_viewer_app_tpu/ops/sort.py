@@ -172,28 +172,39 @@ def block_sort(keys, p1, p2, p3, interpret: bool = False):
     assert e % BLOCK == 0, e
     nblocks = e // BLOCK
     rows_total = e // LANES
-    cell_rows = min(CELL_ROWS, rows_total)
+    # Alternating tile directions need an even tile count per grid cell
+    # (tile parity is read from the cell-local row index). Odd block counts
+    # > 1 can't satisfy that for any cell size — pad one all-sentinel block
+    # (sorted trivially, sliced back off below; block parities unchanged).
+    pad_blocks = nblocks % 2 if nblocks > 1 else 0
+    rows_run = rows_total + pad_blocks * BLOCK_ROWS
+    cell_rows = min(CELL_ROWS, rows_run)
     # Ragged tail: fall back to one cell per block row-count if not divisible.
-    while rows_total % cell_rows:
+    while rows_run % cell_rows:
         cell_rows //= 2
-    # Alternating tile directions need an even tile count per cell (tile
-    # parity is read from the cell-local row index).
     assert cell_rows % (2 * BLOCK_ROWS) == 0 or nblocks == 1, (e, cell_rows)
 
     def spec():
         return pl.BlockSpec((cell_rows, LANES), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
 
+    def prep(a, fill):
+        a = a.reshape(rows_total, LANES)
+        if pad_blocks:
+            pad = jnp.full((pad_blocks * BLOCK_ROWS, LANES), fill, jnp.uint32)
+            a = jnp.concatenate([a, pad], axis=0)
+        return a
+
     outs = pl.pallas_call(
         functools.partial(_block_sort_kernel, rows=cell_rows,
                           block_rows=BLOCK_ROWS),
-        grid=(rows_total // cell_rows,),
+        grid=(rows_run // cell_rows,),
         in_specs=[spec() for _ in range(4)],
         out_specs=[spec() for _ in range(4)],
-        out_shape=[jax.ShapeDtypeStruct((rows_total, LANES), jnp.uint32)] * 4,
+        out_shape=[jax.ShapeDtypeStruct((rows_run, LANES), jnp.uint32)] * 4,
         interpret=interpret,
-    )(*(a.reshape(rows_total, LANES) for a in (keys, p1, p2, p3)))
-    ks, s1, s2, s3 = outs
+    )(prep(keys, SENTINEL), prep(p1, 0), prep(p2, 0), prep(p3, 0))
+    ks, s1, s2, s3 = (a[:rows_total] for a in outs)
     live = (ks != jnp.uint32(SENTINEL)).astype(jnp.int32)
     counts = jnp.sum(live.reshape(nblocks, BLOCK_ROWS * LANES // 256, 256), axis=(1, 2))
     return ks, s1, s2, s3, counts
