@@ -220,3 +220,74 @@ def test_measurement_overlay_draws_line():
         render_measurement_overlay(img, m, cam.view(), cam.projection(1.0))
     )
     assert out2.max() == 0.0
+
+
+def test_compression_switch_repacks_loaded_models():
+    """Changing compression on a loaded scene re-packs pods and keeps the
+    render close to the original (closes the reference's compression-menu
+    UX, `src/app.rs:228-258`, `src/tab/scene.rs:876-1006`)."""
+    from wgpu_3dgs_viewer_app_tpu.data import (
+        Compressions,
+        Cov3dCompression,
+        ShCompression,
+    )
+
+    s = make_session()
+    _, buf = ply_bytes(300, extent=0.5, scale_range=(0.05, 0.1))
+    s.open_model("m.ply", buf)
+    for _ in range(50):
+        s.update()
+        if s.loader is None:
+            break
+    img_norm8 = np.asarray(s.update())
+    full = Compressions(ShCompression.SINGLE, Cov3dCompression.SINGLE)
+    s.set_compressions(full)
+    assert s.viewer.comp == full
+    assert s.viewer.models["m.ply"].buffers.comp == full
+    img_full = np.asarray(s.update())
+    assert img_full.shape == img_norm8.shape
+    # Quantization differences only — images stay visually identical.
+    assert np.abs(img_full - img_norm8).mean() < 0.02
+    # Selection/mask sidecars carried over.
+    m = s.viewer.models["m.ply"]
+    assert m.buffers.mask.shape[0] == m.buffers.capacity
+
+
+def test_compression_switch_rejected_while_loading():
+    s = make_session()
+    _, buf = ply_bytes(100)
+    s.open_model("m.ply", buf)
+    from wgpu_3dgs_viewer_app_tpu.data import (
+        Compressions,
+        Cov3dCompression,
+        ShCompression,
+    )
+
+    with pytest.raises(RuntimeError):
+        s.set_compressions(Compressions(ShCompression.HALF, Cov3dCompression.HALF))
+
+
+def test_server_state_and_set_compressions():
+    from wgpu_3dgs_viewer_app_tpu.app.server import ViewerServer
+
+    s = make_session()
+    _, buf = ply_bytes(120, extent=0.5)
+    s.open_model("m.ply", buf)
+    for _ in range(50):
+        s.update()
+        if s.loader is None:
+            break
+    vs = ViewerServer(s)
+    st = vs.state_json()
+    assert st["compressions"]["sh"] == "norm8"
+    fs = st["compressions"]["field_sizes"]
+    assert fs["pos"] == 12 and "norm8" in fs["sh"] and "half" in fs["cov3d"]
+    assert st["compressions"]["total_count"] >= 120
+    vs.handle_set({"compressions": {"sh": "half", "cov3d": "single"}})
+    assert s.compressions.sh.value == "half"
+    assert s.compressions.cov3d.value == "single"
+    # frame path with staleness + scale knobs
+    blob1 = vs.frame_jpeg(quality=70, scale=0.5)
+    assert blob1[:2] == b"\xff\xd8"
+    blob2 = vs.frame_jpeg(quality=70, max_age=60.0, scale=0.5)
+    assert blob2 == blob1  # served from cache within max_age

@@ -75,3 +75,74 @@ def test_graft_entry_contract():
     out = jax.jit(fn)(*args)
     assert out.shape[-1] == 4
     ge.dryrun_multichip(8)
+
+
+@pytest.mark.parametrize("n_dev", [4])
+def test_sharded_bench_shaped_geometry(n_dev):
+    """Bench-shaped sharded frame: 512x512, 100k splats (VERDICT round-1
+    'done' bar: >=512x512, >=100k splats, communication ∝ live entries)."""
+    comp, pod, view, proj, cfg = setup(n=100_000, w=512, h=512)
+    ref = np.asarray(single_device_reference(comp, pod, view, proj, cfg))
+    mesh = make_mesh(jax.devices()[:n_dev])
+    pod_sharded = shard_pod(pod, mesh)
+    img = np.asarray(
+        render_sharded(pod_sharded, mesh, comp, cfg, view, proj, sh_degree=3,
+                       use_pallas=False)
+    )
+    assert img.shape == ref.shape
+    assert np.abs(img - ref).mean() < 1e-3
+    assert np.abs(img - ref).max() < 0.05
+
+
+def test_sharded_capacity_overflow_degrades_not_crashes():
+    """A deliberately undersized receive buffer drops entries
+    deterministically instead of corrupting memory or crashing."""
+    comp, pod, view, proj, cfg = setup(n=768)
+    mesh = make_mesh(jax.devices()[:2])
+    pod_sharded = shard_pod(pod, mesh)
+    img = np.asarray(
+        render_sharded(pod_sharded, mesh, comp, cfg, view, proj, sh_degree=0,
+                       use_pallas=False, capacity_factor=0.05)
+    )
+    assert img.shape == (cfg.height, cfg.width, 3)
+    assert np.isfinite(img).all()
+
+
+def test_sharded_multi_model_matches_single_device_merged():
+    """Merged multi-model sharded frame == single-device merged render
+    (model rank in the key, one sort; viewer._render_merged semantics)."""
+    import dataclasses as dc
+
+    from wgpu_3dgs_viewer_app_tpu.ops import preprocess as pp
+    from wgpu_3dgs_viewer_app_tpu.ops.binning import enumerate_entries_from_pre
+    from wgpu_3dgs_viewer_app_tpu.ops.fused import sort_and_range_entries
+    from wgpu_3dgs_viewer_app_tpu.parallel import render_frame_sharded_multi
+
+    comp, pod_a, view, proj, cfg = setup(n=640)
+    scene_b = make_random_scene(512, seed=5, extent=1.0, scale_range=(0.02, 0.08))
+    pod_b = {k: jnp.asarray(v) for k, v in pack_gaussians(scene_b, comp).items()}
+    models = jnp.stack([jnp.eye(4), jnp.eye(4).at[2, 3].set(0.4)])
+    ranks = jnp.asarray([1, 0], jnp.uint32)  # model 1 nearer the camera
+
+    # Single-device merged reference.
+    cfg_m = dc.replace(cfg, model_bits=1)
+    parts = []
+    for i, pod in enumerate((pod_a, pod_b)):
+        pre = pp(pod, comp, view, proj, models[i], cfg.width, cfg.height, sh_degree=3)
+        parts.append(enumerate_entries_from_pre(pre, cfg_m, impl="jnp",
+                                                model_rank=ranks[i]))
+    keys, p1, p2, p3 = (jnp.concatenate([p[j] for p in parts]) for j in range(4))
+    entries = sort_and_range_entries(keys, p1, p2, p3, cfg_m)
+    ref = np.asarray(over_background(
+        composite_tiles_jnp_v2(entries, cfg_m), jnp.zeros(3)
+    ))
+
+    mesh = make_mesh(jax.devices()[:4])
+    pods = (shard_pod(pod_a, mesh), shard_pod(pod_b, mesh))
+    img = np.asarray(render_frame_sharded_multi(
+        pods, mesh, "splats", comp, cfg, view, proj, models, ranks,
+        jnp.zeros(3, jnp.float32), sh_degree=3, use_pallas=False,
+        ragged=False,
+    ))[: cfg.height]
+    assert np.abs(img - ref).mean() < 1e-3
+    assert np.abs(img - ref).max() < 0.05

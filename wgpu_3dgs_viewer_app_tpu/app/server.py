@@ -48,12 +48,37 @@ from .state import (
 ASSETS = Path(__file__).parent / "assets"
 
 
-def _encode_jpeg(img: np.ndarray, quality: int = 85) -> bytes:
+def _compression_field_sizes() -> dict:
+    """Per-field byte sizes for every compression option — the data behind
+    the picker's live size readout (ref `src/tab/scene.rs:897-1006`)."""
+    from ..data.compression import (
+        COLOR_FIELD_SIZE,
+        COV3D_FIELD_SIZES,
+        POS_FIELD_SIZE,
+        Cov3dCompression,
+        ShCompression,
+    )
+    from ..data.compression import SH_FIELD_SIZES
+
+    return {
+        "pos": POS_FIELD_SIZE,
+        "color": COLOR_FIELD_SIZE,
+        "sh": {e.value: SH_FIELD_SIZES[e] for e in ShCompression},
+        "cov3d": {e.value: COV3D_FIELD_SIZES[e] for e in Cov3dCompression},
+    }
+
+
+def _encode_jpeg(img: np.ndarray, quality: int = 85, scale: float = 1.0) -> bytes:
     from PIL import Image
 
     arr = np.clip(np.asarray(img) * 255.0, 0, 255).astype(np.uint8)
+    im = Image.fromarray(arr)
+    if scale != 1.0:
+        im = im.resize(
+            (max(1, round(im.width * scale)), max(1, round(im.height * scale)))
+        )
     buf = io.BytesIO()
-    Image.fromarray(arr).save(buf, "JPEG", quality=quality)
+    im.save(buf, "JPEG", quality=quality)
     return buf.getvalue()
 
 
@@ -63,14 +88,30 @@ class ViewerServer:
     def __init__(self, session: GaussianSplattingSession):
         self.session = session
         self.lock = threading.Lock()
-        self._last_frame = None
+        self._last_frame = None  # (monotonic ts, quality, scale, jpeg bytes)
+        self._frame_gate = threading.Lock()  # serializes renderers, not /state
 
     # --- frame ---
 
-    def frame_jpeg(self, quality: int = 85) -> bytes:
-        with self.lock:
-            img = self.session.update()
-            return _encode_jpeg(np.asarray(img), quality)
+    def frame_jpeg(self, quality: int = 85, max_age: float | None = None,
+                   scale: float = 1.0) -> bytes:
+        """Render one frame. The state lock is held only for the frame
+        DISPATCH (jax enqueues asynchronously); the device->host transfer
+        and JPEG encode — the slow parts over the TPU tunnel — run outside
+        it, so `/state`/`/set` stay responsive while a large frame renders.
+        `max_age` (seconds) serves the cached previous frame when fresh
+        enough (client-side staleness tolerance); `scale` downsizes the
+        encoded image (resolution degrade knob)."""
+        if max_age is not None and self._last_frame is not None:
+            ts, q, sc, blob = self._last_frame
+            if time.monotonic() - ts <= max_age and q == quality and sc == scale:
+                return blob
+        with self._frame_gate:  # one in-flight render; /state never waits here
+            with self.lock:
+                img = self.session.update()
+            blob = _encode_jpeg(np.asarray(img), quality, scale)
+            self._last_frame = (time.monotonic(), quality, scale, blob)
+            return blob
 
     # --- input events (ref input system src/tab/scene.rs:1082-1569) ---
 
@@ -257,6 +298,13 @@ class ViewerServer:
                 "compressions": {
                     "sh": s.compressions.sh.value,
                     "cov3d": s.compressions.cov3d.value,
+                    # Live size readout data for the picker (the reference's
+                    # init modal shows per-field and total sizes,
+                    # `src/tab/scene.rs:897-1006`).
+                    "field_sizes": _compression_field_sizes(),
+                    "total_count": sum(
+                        m.buffers.capacity for m in s.viewer.models.values()
+                    ),
                 },
             }
 
@@ -317,6 +365,18 @@ class ViewerServer:
                             rot=np.asarray(tr["rot"], np.float32),
                             scale=np.asarray(tr["scale"], np.float32),
                         )
+                elif key == "compressions":
+                    from ..data.compression import (
+                        Compressions,
+                        Cov3dCompression,
+                        ShCompression,
+                    )
+
+                    cur = s.compressions
+                    s.set_compressions(Compressions(
+                        sh=ShCompression(v.get("sh", cur.sh.value)),
+                        cov3d=Cov3dCompression(v.get("cov3d", cur.cov3d.value)),
+                    ))
                 elif key == "mask_op_code":
                     s.mask.op_code = v
                 elif key == "mask_shape":
@@ -438,10 +498,17 @@ def make_handler(server: ViewerServer):
                     html = (ASSETS / "index.html").read_bytes()
                     self._send(200, html, "text/html; charset=utf-8")
                 elif path == "/frame.jpg":
-                    q = 85
-                    if "quality=" in self.path:
-                        q = int(self.path.split("quality=")[1].split("&")[0])
-                    self._send(200, server.frame_jpeg(q), "image/jpeg")
+                    from urllib.parse import parse_qs, urlparse
+
+                    qs = parse_qs(urlparse(self.path).query)
+                    q = int(qs.get("quality", ["85"])[0])
+                    scale = float(qs.get("scale", ["1.0"])[0])
+                    max_age = (
+                        float(qs["max_age"][0]) if "max_age" in qs else None
+                    )
+                    self._send(
+                        200, server.frame_jpeg(q, max_age, scale), "image/jpeg"
+                    )
                 elif path == "/state":
                     self._json(server.state_json())
                 elif path == "/export":

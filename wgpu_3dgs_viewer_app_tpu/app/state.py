@@ -225,6 +225,15 @@ class GaussianSplattingSession:
     def send_command(self, cmd: SceneCommand) -> None:
         self.scene_q.put(cmd)
 
+    def set_compressions(self, comp: Compressions) -> None:
+        """Change compression on the live scene, re-packing loaded models
+        (closes the reference's init-modal/settings-menu compression UX,
+        `src/tab/scene.rs:876-1006`, `src/app.rs:228-258`)."""
+        if self.loader is not None:
+            raise RuntimeError("cannot change compression while a model is loading")
+        self.compressions = comp
+        self.viewer.set_compressions(comp)
+
     def _drain_loader(self) -> None:
         if self.loader is None:
             return

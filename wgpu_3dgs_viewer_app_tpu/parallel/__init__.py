@@ -1,6 +1,7 @@
 from .render_sharded import (
     make_mesh,
     render_frame_sharded,
+    render_frame_sharded_multi,
     render_sharded,
     shard_pod,
     slab_config,
@@ -9,6 +10,7 @@ from .render_sharded import (
 __all__ = [
     "make_mesh",
     "render_frame_sharded",
+    "render_frame_sharded_multi",
     "render_sharded",
     "shard_pod",
     "slab_config",

@@ -187,6 +187,32 @@ class MultiModelViewer:
             raise ValueError("cannot remove the last model")
         del self.models[key]
 
+    def set_compressions(self, comp: Compressions) -> None:
+        """Switch compression on a LOADED scene: re-pack every model's pod
+        buffers from its retained CPU gaussians under the new config. The
+        reference changes compression from the settings menu and rebuilds
+        the scene resource for the new pod type (`src/app.rs:228-258`,
+        `src/tab/scene.rs:876-1006`); here the jit simply re-specializes on
+        the new `comp` key. Sidecar state (edits/selection/mask) carries
+        over unchanged — it is compression-independent."""
+        if comp == self.comp:
+            return
+        self.comp = comp
+        for m in self.models.values():
+            old = m.buffers
+            buf = GaussianBuffers(old.capacity, comp)
+            if m.gaussians is not None and m.gaussians.count:
+                buf.upload_all(m.gaussians)
+            buf.selection = old.selection
+            buf.mask = old.mask
+            buf.edit_flags = old.edit_flags
+            buf.edit_rgb = old.edit_rgb
+            buf.edit_params = old.edit_params
+            buf.selection_active = old.selection_active
+            buf.mask_active = old.mask_active
+            buf.edits_active = old.edits_active
+            m.buffers = buf
+
     # --- world-state updates (ref `src/tab/scene.rs:794-849`) --------------
 
     def update_camera(self, camera: CameraTrait) -> None:
