@@ -2,22 +2,43 @@
 
 Tests run on an 8-device virtual CPU mesh so multi-chip sharding paths
 (`parallel/`) are exercised without TPU hardware. Set before jax import.
+
+Hardware runs: `GS_TPU_TESTS=1 python -m pytest tests/ -m tpu` keeps the
+ambient TPU backend so the `tpu`-marked tests (compiled Mosaic kernels,
+end-to-end image equality on the chip) execute for real.
 """
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"  # force: ambient env may say axon/tpu
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+_TPU_RUN = os.environ.get("GS_TPU_TESTS") == "1"
+
+if not _TPU_RUN:
+    os.environ["JAX_PLATFORMS"] = "cpu"  # force: ambient env may say axon/tpu
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
 
 import jax
 
-# Env vars alone are not enough: a pytest plugin may import jax before this
-# conftest runs, so pin the platform through the config API as well (works
-# any time before first backend creation).
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_gs3d_cpu")
+if not _TPU_RUN:
+    # Env vars alone are not enough: a pytest plugin may import jax before
+    # this conftest runs, so pin the platform through the config API as well
+    # (works any time before first backend creation).
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_gs3d_cpu")
+else:
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_gs3d")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def pytest_collection_modifyitems(config, items):
+    import pytest
+
+    if _TPU_RUN:
+        return
+    skip = pytest.mark.skip(reason="TPU hardware test (set GS_TPU_TESTS=1)")
+    for item in items:
+        if "tpu" in item.keywords:
+            item.add_marker(skip)

@@ -346,3 +346,42 @@ def test_tile_config_depth_bits_guard():
     bad = TileConfig(1920, 1080, tile=16, max_dup=8, model_bits=12)
     with pytest.raises(ValueError):
         _ = bad.v2_depth_bits
+
+
+def test_fused_presort_blocks_sorted_and_equivalent():
+    """presort=True: the fused kernel's output is block-sorted in the merge
+    sort's phase-1 layout (BLOCK runs alternating asc/desc) and carries
+    exactly the same entry multiset as the unsorted path."""
+    from wgpu_3dgs_viewer_app_tpu.ops.fused import enumerate_entries_fused
+    from wgpu_3dgs_viewer_app_tpu.ops.sort import BLOCK
+
+    comp = FULL
+    # 128-row pod (16384 splats) x max_dup 8 -> E = 16384*8 = 8 BLOCKs.
+    scene = make_random_scene(16384, seed=4, extent=1.2, scale_range=(0.01, 0.05))
+    pod = {k: jnp.asarray(v) for k, v in pack_gaussians(scene, comp).items()}
+    cam = CameraOrbitControl(target=(0, 0, 0), pos=(0, 0, -4))
+    view, proj = jnp.asarray(cam.view()), jnp.asarray(cam.projection(1.0))
+    cfg = TileConfig(128, 128, tile=16, max_dup=8)
+    args = (pod, comp, cfg, view, proj, jnp.eye(4))
+    plain = enumerate_entries_fused(*args, sh_degree=1, interpret=True)
+    pre = enumerate_entries_fused(*args, sh_degree=1, interpret=True,
+                                  presort=True)
+    kp = np.asarray(pre[0])
+    assert kp.shape[0] % BLOCK == 0
+    nb = kp.shape[0] // BLOCK
+    for b in range(nb):
+        blk = kp[b * BLOCK : (b + 1) * BLOCK].astype(np.int64)
+        d = np.diff(blk ^ 0x80000000 - 0)  # unsigned order == signed+bias
+        blk_u = blk  # uint comparison via int64 holds (values < 2^32)
+        if b % 2 == 0:
+            assert np.all(np.diff(blk_u) >= 0), f"block {b} not ascending"
+        else:
+            assert np.all(np.diff(blk_u) <= 0), f"block {b} not descending"
+    # Same (key, p1, p2, p3) multiset on live entries as the plain path.
+    def live_set(planes):
+        k = np.asarray(planes[0])
+        m = k != 0xFFFFFFFF
+        return sorted(zip(k[m].tolist(), np.asarray(planes[1])[m].tolist(),
+                          np.asarray(planes[2])[m].tolist(),
+                          np.asarray(planes[3])[m].tolist()))
+    assert live_set(plain) == live_set(pre)

@@ -9,9 +9,12 @@ import pytest
 
 from wgpu_3dgs_viewer_app_tpu.ops.sort import BLOCK, merge_sort
 
-pytestmark = pytest.mark.skipif(
-    jax.default_backend() != "tpu", reason="requires TPU hardware"
-)
+pytestmark = [
+    pytest.mark.tpu,
+    pytest.mark.skipif(
+        jax.default_backend() != "tpu", reason="requires TPU hardware"
+    ),
+]
 
 SENT = 0xFFFFFFFF
 

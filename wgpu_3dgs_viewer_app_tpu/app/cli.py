@@ -33,7 +33,8 @@ def cmd_render(args) -> int:
     g = read_ply(args.model)
     print(f"loaded {g.count:,} splats from {args.model}", file=sys.stderr)
     comp = Compressions(ShCompression(args.sh_comp), Cov3dCompression(args.cov3d_comp))
-    v = Viewer(g, args.width, args.height, comp=comp, background=tuple(args.background))
+    v = Viewer(g, args.width, args.height, comp=comp, background=tuple(args.background),
+               tile=args.tile, max_dup=args.max_dup)
     gt = v.gaussian_transform
     gt.sh_deg = GaussianShDegree(args.sh_deg)
     gt.display_mode = GaussianDisplayMode[args.mode.upper()]
@@ -59,7 +60,8 @@ def cmd_serve(args) -> int:
     from .state import GaussianSplattingSession
 
     comp = Compressions(ShCompression(args.sh_comp), Cov3dCompression(args.cov3d_comp))
-    session = GaussianSplattingSession(args.width, args.height, compressions=comp)
+    session = GaussianSplattingSession(args.width, args.height, compressions=comp,
+                                       tile=args.tile, max_dup=args.max_dup)
     for path in args.models:
         with open(path, "rb") as f:
             session.open_model(path.split("/")[-1], f)
@@ -70,6 +72,9 @@ def cmd_serve(args) -> int:
 
 
 def main(argv=None) -> int:
+    from ..utils.log import configure
+
+    configure()  # $GS_LOG=debug|info|... (env_logger analog)
     ap = argparse.ArgumentParser(prog="3dgs-tpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
 
@@ -86,6 +91,9 @@ def main(argv=None) -> int:
     r.add_argument("--background", type=float, nargs=3, default=[0, 0, 0])
     r.add_argument("--sh-comp", default="norm8", choices=["single", "half", "norm8", "remove"])
     r.add_argument("--cov3d-comp", default="half", choices=["single", "half"])
+    r.add_argument("--tile", type=int, default=32, help="screen tile size (px)")
+    r.add_argument("--max-dup", type=int, default=8,
+                   help="tile entries per splat (quality/speed; 4=bench, 16=exact for huge splats)")
     r.set_defaults(fn=cmd_render)
 
     s = sub.add_parser("serve", help="interactive web viewer")
@@ -96,6 +104,9 @@ def main(argv=None) -> int:
     s.add_argument("--height", type=int, default=720)
     s.add_argument("--sh-comp", default="norm8", choices=["single", "half", "norm8", "remove"])
     s.add_argument("--cov3d-comp", default="half", choices=["single", "half"])
+    s.add_argument("--tile", type=int, default=32, help="screen tile size (px)")
+    s.add_argument("--max-dup", type=int, default=8,
+                   help="tile entries per splat (quality/speed; 4=bench, 16=exact for huge splats)")
     s.set_defaults(fn=cmd_serve)
 
     args = ap.parse_args(argv)

@@ -21,7 +21,10 @@ from typing import BinaryIO, Callable, Optional
 
 from ..data.gaussian import Gaussians
 from ..data.ply import PlyReadStats, read_ply_chunks, read_ply_header
+from ..utils.log import get_logger
 from ..utils.tasks import exec_task
+
+_log = get_logger("loader")
 
 # Reference pacing (src/tab/scene.rs:358-364).
 DRAIN_BATCH = 1000
@@ -45,13 +48,20 @@ class StreamingLoader:
         self._thread = exec_task(self._run, reader, chunk_size)
 
     def _run(self, reader, chunk_size):
+        _log.debug("stream start: %d declared splats", self.count)
         try:
             for chunk in read_ply_chunks(reader, self.header, chunk_size,
                                          stats=self.stats):
                 self._q.put(chunk)
         except Exception as e:  # per-splat errors surfaced, not fatal to the app
             self.error = str(e)
+            _log.warning("stream failed: %s", e)
         finally:
+            if self.stats.skipped:
+                # Ref logs and skips malformed splats (src/tab/scene.rs:352-356).
+                _log.warning("skipped %d malformed record(s)", self.stats.skipped)
+            _log.debug("stream done: skipped=%d truncated=%d",
+                       self.stats.skipped, self.stats.truncated)
             self._q.put(None)
 
     @property

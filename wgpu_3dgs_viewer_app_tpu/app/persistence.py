@@ -43,6 +43,7 @@ def save_state(session, path: Optional[Path] = None) -> Path:
             "sensitivity": session.camera.sensitivity,
             "fov_deg": math.degrees(session.camera.control.vertical_fov),
         },
+        "theme": getattr(session, "theme", "dark"),
     }
     path.write_text(json.dumps(data, indent=2))
     return path
@@ -86,4 +87,6 @@ def restore_state(session, path: Optional[Path] = None) -> bool:
     session.camera.sensitivity = float(cam.get("sensitivity", session.camera.sensitivity))
     if "fov_deg" in cam:
         session.camera.control.vertical_fov = math.radians(float(cam["fov_deg"]))
+    if data.get("theme") in ("dark", "light"):
+        session.theme = data["theme"]
     return True

@@ -226,6 +226,7 @@ class ViewerServer:
             edit = sel.edit
             return {
                 "fps": round(s.fps.fps, 1),
+                "theme": s.theme,
                 "loading": None
                 if s.loader is None
                 else {
@@ -377,6 +378,9 @@ class ViewerServer:
                         sh=ShCompression(v.get("sh", cur.sh.value)),
                         cov3d=Cov3dCompression(v.get("cov3d", cur.cov3d.value)),
                     ))
+                elif key == "theme":
+                    if v in ("dark", "light"):
+                        s.theme = v
                 elif key == "mask_op_code":
                     s.mask.op_code = v
                 elif key == "mask_shape":
@@ -497,6 +501,12 @@ def make_handler(server: ViewerServer):
                 if path == "/":
                     html = (ASSETS / "index.html").read_bytes()
                     self._send(200, html, "text/html; charset=utf-8")
+                elif path == "/manifest.json":
+                    self._send(200, (ASSETS / "manifest.json").read_bytes(),
+                               "application/manifest+json")
+                elif path == "/sw.js":
+                    self._send(200, (ASSETS / "sw.js").read_bytes(),
+                               "text/javascript")
                 elif path == "/frame.jpg":
                     from urllib.parse import parse_qs, urlparse
 

@@ -142,8 +142,11 @@ def depth_alpha_key_lo(depth, alpha, cfg: "TileConfig", model_rank=None) -> jnp.
         .astype(jnp.int32)
         .astype(jnp.uint32)
     )
+    # Clamp to ALPHA_MAX (0.99, ref 3DGS rasterizer convention) here — 252
+    # = floor(0.99 * 255) — so the compositor needs no per-pixel clamp
+    # (ops/composite._alpha_from_power).
     alpha_u8 = (
-        jnp.clip(alpha * 255.0 + 0.5, 0.0, 255.0).astype(jnp.int32).astype(jnp.uint32)
+        jnp.clip(alpha * 255.0 + 0.5, 0.0, 252.0).astype(jnp.int32).astype(jnp.uint32)
     )
     lo = (dkey << jnp.uint32(cfg.ALPHA_BITS)) | alpha_u8
     if cfg.model_bits:

@@ -311,11 +311,21 @@ def _u8_unit(w, shift):
     ) * jnp.float32(1.0 / 255.0)
 
 
+LOG2E = 1.4426950408889634  # the alpha pipeline works in log2 units
+
+
 def _chunk_alpha_packed(key, p1, p2, p3, px, py, live, flat_mode: bool):
     """Packed (1, C) u32 rows + local pixel columns (P, 1) -> (P, C) alpha.
 
-    Plane layout per ops/binning.py: key carries alpha in its low byte;
-    p1 = mean u12.u12 + b u8; p2 = conic_ab f16s; p3 = conic_c f16 + r.g u8.
+    Plane layout per ops/binning.py: key carries alpha in its low byte
+    (pre-clamped to ALPHA_MAX at enumeration); p1 = mean u12.u12 + b u8;
+    p2 = conic_ab f16s; p3 = conic_c f16 + r.g u8.
+
+    Cost discipline: the compositor is VPU-compute-bound (~0.5 ms per
+    (P, C)-wide op at the 6M bench), so everything foldable is folded into
+    the narrow (1, C) rows: the -0.5 factor, the exp->exp2 base change, and
+    the sign all pre-scale the conic rows; the quadratic evaluates in 9
+    wide ops via Horner-style nesting.
     """
     op = _u8_unit(key, 0)
     inv = jnp.float32(1.0 / MEAN_FIX_SCALE)
@@ -331,27 +341,41 @@ def _chunk_alpha_packed(key, p1, p2, p3, px, py, live, flat_mode: bool):
     return _gaussian_alpha(op, mx, my, ca, cb, cc, px, py, live, flat_mode) + (r, g, b)
 
 
+_USE_EXP2 = True
+
+
 def _gaussian_alpha(op, mx, my, ca, cb, cc, px, py, live, flat_mode):
+    # Narrow (1, C) row prep: -0.5 * log2(e) folded into the conic rows.
+    l2 = LOG2E if _USE_EXP2 else 1.0
+    s = jnp.float32(-0.5 * l2)
+    a2 = ca * s
+    b2 = cb * jnp.float32(-l2)
+    c2 = cc * s
     dx = px - mx
     dy = py - my
-    power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
-    return (_alpha_from_power(power, op, live, flat_mode),)
+    # power2 = log2-units exponent: (a2*dx + b2*dy)*dx + (c2*dy)*dy
+    power2 = (a2 * dx + b2 * dy) * dx + (c2 * dy) * dy
+    return (_alpha_from_power(power2, op, live, flat_mode),)
 
 
-def _alpha_from_power(power, op, live, flat_mode):
+def _alpha_from_power(power2, op, live, flat_mode):
+    """power2 is the Gaussian exponent in LOG2 units (pre-scaled rows)."""
     # Dead entries zero out through the per-entry opacity row (live is
     # (1, C)) — one narrow select instead of a (P, C) boolean term.
     op = jnp.where(live, op, 0.0)
+    cut = FLAT_POWER_CUTOFF * (LOG2E if _USE_EXP2 else 1.0)
     if flat_mode:
-        a = jnp.where(power >= FLAT_POWER_CUTOFF, op, 0.0)
-        a = jnp.broadcast_to(a, power.shape)
+        a = jnp.where(power2 >= jnp.float32(cut), op, 0.0)
+        a = jnp.broadcast_to(a, power2.shape)
     else:
         # Clamp power to <= 0 instead of hard-masking power > 0: the quadratic
         # form is only positive through f16/rearrangement wobble, and a hard
         # cut sits exactly on the splat center (power == 0) where any +/-eps
         # flips the center pixel between full alpha and a hole.
-        a = op * jnp.exp(jnp.minimum(power, 0.0))
-    a = jnp.minimum(a, ALPHA_MAX)
+        # ALPHA_MAX is pre-applied to the key's alpha byte at enumeration,
+        # so no per-pixel clamp is needed here.
+        ex = jnp.exp2 if _USE_EXP2 else jnp.exp
+        a = op * ex(jnp.minimum(power2, 0.0))
     return jnp.where(a < ALPHA_EPS, 0.0, a)
 
 
@@ -373,14 +397,15 @@ def _chunk_alpha_mxu(key, p1, p2, p3, f_mat, live):
     r = _u8_unit(p3, 16)
     g = _u8_unit(p3, 24)
     zero = jnp.zeros_like(ca)
+    l2 = jnp.float32(LOG2E)  # _alpha_from_power expects log2-unit exponents
     g_mat = jnp.concatenate(
         [
-            -0.5 * ca,
-            -0.5 * cc,
-            -cb,
-            ca * mx + cb * my,
-            cc * my + cb * mx,
-            -(0.5 * (ca * mx * mx + cc * my * my) + cb * mx * my),
+            -0.5 * l2 * ca,
+            -0.5 * l2 * cc,
+            -l2 * cb,
+            l2 * (ca * mx + cb * my),
+            l2 * (cc * my + cb * mx),
+            -l2 * (0.5 * (ca * mx * mx + cc * my * my) + cb * mx * my),
             zero,
             zero,
         ],
@@ -430,8 +455,10 @@ def composite_tiles_jnp_v2(
                 chunk[0:1], chunk[1:2], chunk[2:3], chunk[3:4], px_local, py_local, live, flat_mode
             )
             incl, excl = _excl_cumprod_lanes(1.0 - a, use_roll=False)
-            w = t * excl * a
-            rgb = rgb + jnp.stack(
+            # t is constant within the chunk: fold it AFTER the lane
+            # reduction ((P, 3) narrow mult) instead of into the (P, C) w.
+            w = excl * a
+            rgb = rgb + t * jnp.stack(
                 [jnp.sum(w * r, -1), jnp.sum(w * g, -1), jnp.sum(w * b, -1)], -1
             )
             t = t * incl[:, -1:]
@@ -525,10 +552,12 @@ def _composite_kernel_v2(
                 )
             incl, excl = _excl_cumprod_lanes(1.0 - a, use_roll=True)
             tcur = t_buf[:, 0:1]
-            w = tcur * excl * a
-            rgb_buf[:, 0:1] = rgb_buf[:, 0:1] + jnp.sum(w * r, -1, keepdims=True)
-            rgb_buf[:, 1:2] = rgb_buf[:, 1:2] + jnp.sum(w * g, -1, keepdims=True)
-            rgb_buf[:, 2:3] = rgb_buf[:, 2:3] + jnp.sum(w * b, -1, keepdims=True)
+            # Fold tcur after the lane reductions ((P, 1) narrow mults)
+            # instead of into the (P, C)-wide w.
+            w = excl * a
+            rgb_buf[:, 0:1] = rgb_buf[:, 0:1] + tcur * jnp.sum(w * r, -1, keepdims=True)
+            rgb_buf[:, 1:2] = rgb_buf[:, 1:2] + tcur * jnp.sum(w * g, -1, keepdims=True)
+            rgb_buf[:, 2:3] = rgb_buf[:, 2:3] + tcur * jnp.sum(w * b, -1, keepdims=True)
             t_buf[:] = tcur * incl[:, ROW - 1 : ROW]
             return c + 1, 0
 

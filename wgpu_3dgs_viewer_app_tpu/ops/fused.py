@@ -58,6 +58,18 @@ ROWS_PER_BLOCK = 128  # 16k splats per grid step; 256 rows OOMs the 16 MB VMEM
 # elements precede it.
 MODEL_RANK_SLOT = 37
 
+# Presort (fused phase-1 block sort) VMEM budget: the in-kernel bitonic
+# sort's live temporaries scale with rb*d rows x 4 planes; 512 rows
+# (= the d=4 default) measures ~8 MB of scoped stack, d=16 at full rb
+# OOMs the 16 MB limit (measured 31.9 MB). Cap rb so rb*d <= 512.
+_PRESORT_MAX_ROWS = 512
+
+
+def _presort_rb(rows_total: int, d: int) -> int:
+    """Grid-step row count for the presort path (rb*d bounded for VMEM)."""
+    rb = min(ROWS_PER_BLOCK, rows_total, max(_PRESORT_MAX_ROWS // d, 8))
+    return rb
+
 
 class _Mat:
     """Adapter so the component-form covariance helpers (which index
@@ -119,6 +131,7 @@ def _kernel(
     sh_degree: int,
     no_sh0: bool,
     display_mode: int,
+    presort: bool = False,
 ):
     refs = list(rest)
     sh_ref = refs.pop(0) if comp.sh != ShCompression.REMOVE else None
@@ -243,14 +256,43 @@ def _kernel(
     r2s = jnp.where(valid, radius * radius, -1.0)
 
     tx0, rw, ty0, rh, n_touched = _splat_rect(px, py, radius, cfg)
+    if not presort:
+        for dcell in range(cfg.max_dup):
+            key_d, p1_d = _entry_planes_for_cell(
+                dcell, px, py, r2s, key_lo, p1_base, tx0, rw, ty0, rh, n_touched, cfg
+            )
+            keys_ref[:, dcell, :] = key_d
+            p1_ref[:, dcell, :] = p1_d
+            p2_ref[:, dcell, :] = p2s
+            p3_ref[:, dcell, :] = p3s
+        return
+
+    # Fused phase-1 block sort (PERF_NOTES "fuse phase-1 into the enum
+    # kernel"): sort the step's Rb*D entry rows in VMEM before writing,
+    # saving one full HBM round trip of the unsorted planes. Entry order
+    # within the step is free (the sort destroys it), so the d-planes just
+    # concatenate along rows. Blocks alternate asc/desc by step-local
+    # parity, which equals global parity because each step holds an even
+    # block count (asserted by the caller).
+    from .sort import BLOCK_ROWS as SORT_BLOCK_ROWS, _block_sort_body, _from_ord, _to_ord
+
+    kparts, p1parts = [], []
     for dcell in range(cfg.max_dup):
         key_d, p1_d = _entry_planes_for_cell(
             dcell, px, py, r2s, key_lo, p1_base, tx0, rw, ty0, rh, n_touched, cfg
         )
-        keys_ref[:, dcell, :] = key_d
-        p1_ref[:, dcell, :] = p1_d
-        p2_ref[:, dcell, :] = p2s
-        p3_ref[:, dcell, :] = p3s
+        kparts.append(key_d)
+        p1parts.append(p1_d)
+    rows = px.shape[0] * cfg.max_dup
+    ops = [
+        _to_ord(jnp.concatenate(kparts, axis=0)),
+        jnp.concatenate(p1parts, axis=0),
+        jnp.concatenate([p2s] * cfg.max_dup, axis=0),
+        jnp.concatenate([p3s] * cfg.max_dup, axis=0),
+    ]
+    ops = _block_sort_body(ops, rows, SORT_BLOCK_ROWS)
+    keys_ref[...] = _from_ord(ops[0])
+    p1_ref[...], p2_ref[...], p3_ref[...] = ops[1:]
 
 
 def _frame_params(view, proj, model, width, height, size, model_rank=0):
@@ -294,7 +336,8 @@ def _frame_params(view, proj, model, width, height, size, model_rank=0):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("comp", "cfg", "sh_degree", "no_sh0", "display_mode", "interpret"),
+    static_argnames=("comp", "cfg", "sh_degree", "no_sh0", "display_mode",
+                     "interpret", "presort"),
 )
 def enumerate_entries_fused(
     pod: dict,
@@ -309,16 +352,24 @@ def enumerate_entries_fused(
     display_mode: int = 0,
     interpret: bool = False,
     model_rank=0,
+    presort: bool = False,
 ):
-    """pod -> unsorted flat (keys, p1, p2, p3) entry planes (one fused
-    Pallas pass). `model_rank` keys the fused multi-model pass (requires
-    cfg.model_bits > 0; nearest model = rank 0)."""
+    """pod -> flat (keys, p1, p2, p3) entry planes (one fused Pallas pass).
+    `model_rank` keys the fused multi-model pass (requires
+    cfg.model_bits > 0; nearest model = rank 0).
+
+    With `presort`, each grid step's Rb*D entry rows come out block-sorted
+    in the merge sort's phase-1 layout (BLOCK-entry runs alternating
+    asc/desc) — feed them straight to `ops.sort.merge_presorted`, skipping
+    the standalone phase-1 kernel and its HBM round trip."""
     params = _frame_params(view, proj, model, cfg.width, cfg.height, size,
                            model_rank)
 
     pos = pod["pos"]
     rows_total = pos.shape[-2]
-    rb = min(ROWS_PER_BLOCK, rows_total)
+    rb = _presort_rb(rows_total, cfg.max_dup) if presort else min(
+        ROWS_PER_BLOCK, rows_total
+    )
     pad_rows = (-rows_total) % rb
 
     def padr(a):
@@ -343,8 +394,18 @@ def enumerate_entries_fused(
 
     rows_padded = rows_total + pad_rows
     d = cfg.max_dup
-    out_spec = pl.BlockSpec((rb, d, ROW), lambda i: (i, 0, 0))
-    out_shape = jax.ShapeDtypeStruct((rows_padded, d, ROW), jnp.uint32)
+    if presort:
+        from .sort import BLOCK_ROWS as SORT_BLOCK_ROWS
+
+        # Step-local block parity must equal global parity: each step needs
+        # an even count of whole sort blocks.
+        nb_step = (rb * d) // SORT_BLOCK_ROWS
+        assert (rb * d) % SORT_BLOCK_ROWS == 0 and nb_step % 2 == 0, (rb, d)
+        out_spec = pl.BlockSpec((rb * d, ROW), lambda i: (i, 0))
+        out_shape = jax.ShapeDtypeStruct((rows_padded * d, ROW), jnp.uint32)
+    else:
+        out_spec = pl.BlockSpec((rb, d, ROW), lambda i: (i, 0, 0))
+        out_shape = jax.ShapeDtypeStruct((rows_padded, d, ROW), jnp.uint32)
 
     kernel = functools.partial(
         _kernel,
@@ -353,6 +414,7 @@ def enumerate_entries_fused(
         sh_degree=sh_degree,
         no_sh0=no_sh0,
         display_mode=display_mode,
+        presort=presort,
     )
     keys, p1, p2, p3 = pl.pallas_call(
         kernel,
@@ -379,7 +441,8 @@ def sort_and_range_entries(keys, p1, p2, p3, cfg: TileConfig) -> SortedEntries:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("comp", "cfg", "sh_degree", "no_sh0", "display_mode", "interpret"),
+    static_argnames=("comp", "cfg", "sh_degree", "no_sh0", "display_mode",
+                     "interpret", "presort"),
 )
 def build_sorted_entries_fused(
     pod: dict,
@@ -393,10 +456,42 @@ def build_sorted_entries_fused(
     size=1.0,
     display_mode: int = 0,
     interpret: bool = False,
+    presort: bool | None = None,
 ) -> SortedEntries:
-    """pod -> SortedEntries via the fused kernel + Pallas merge sort."""
+    """pod -> SortedEntries via the fused kernel + Pallas merge sort.
+
+    On the TPU at sort-worthy sizes the kernel also runs the merge sort's
+    phase-1 block sort in VMEM (`presort=True`) so the unsorted entry
+    planes never round-trip through HBM; the merge phase consumes the
+    block-sorted planes directly."""
+    import jax as _jax
+
+    from .binning import ROW as _ROW
+    from .sort import BLOCK, merge_presorted
+
+    rows_total = pod["pos"].shape[-2]
+    d = cfg.max_dup
+    rb = _presort_rb(rows_total, d)
+    rows_padded = rows_total + ((-rows_total) % rb)
+    e = rows_padded * d * _ROW
+    presort_ok = (
+        not interpret
+        and _jax.default_backend() == "tpu"
+        and e >= 1_000_000
+        and e % BLOCK == 0
+        and (rb * d) % 128 == 0
+        and ((rb * d) // 128) % 2 == 0
+    )
+    presort = presort_ok if presort is None else (presort and presort_ok)
     keys, p1, p2, p3 = enumerate_entries_fused(
         pod, comp, cfg, view, proj, model, sh_degree, no_sh0, size,
-        display_mode, interpret
+        display_mode, interpret, presort=presort,
     )
+    if presort:
+        out = merge_presorted(keys, p1, p2, p3, interleaved=True)
+        if len(out) == 2:
+            from .binning import _sorted_entries_from_interleaved
+
+            return _sorted_entries_from_interleaved(out[0], out[1], cfg)
+        return _sorted_entries_from_sorted(*out, cfg)
     return sort_and_range_entries(keys, p1, p2, p3, cfg)

@@ -571,6 +571,29 @@ def _merge_level(planes, meta, out_rows: int, interpret: bool = False,
     )(meta, *planes)
 
 
+def block_live_counts(ks) -> jnp.ndarray:
+    """(nblocks,) live-entry counts of block-sorted flat keys (sentinels
+    have sunk to each block's tail; an XLA reduction)."""
+    e = ks.shape[0]
+    nblocks = e // BLOCK
+    live = (ks.reshape(-1) != jnp.uint32(SENTINEL)).astype(jnp.int32)
+    return jnp.sum(live.reshape(nblocks, BLOCK // 256, 256), axis=(1, 2))
+
+
+def merge_presorted(ks, s1, s2, s3, interpret: bool = False,
+                    interleaved: bool = False):
+    """Phase 2 only: merge flat planes that are ALREADY block-sorted in
+    BLOCK-entry runs alternating asc/desc by parity (e.g. by the fused
+    enumerate+sort front-end kernel). Same output contract as merge_sort."""
+    e = ks.shape[0]
+    assert e % BLOCK == 0, e
+    counts = block_live_counts(ks)
+    return _merge_phase(
+        [a.reshape(e // LANES, LANES) for a in (ks, s1, s2, s3)],
+        counts, interpret=interpret, interleaved=interleaved,
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("interpret", "interleaved"))
 def merge_sort(keys, p1, p2, p3, interpret: bool = False,
                interleaved: bool = False):
@@ -592,11 +615,19 @@ def merge_sort(keys, p1, p2, p3, interpret: bool = False,
     if BLOCK < e and rows_total < _NR:
         return jax.lax.sort((keys, p1, p2, p3), num_keys=1, is_stable=False)
     ks, s1, s2, s3, counts = block_sort(keys, p1, p2, p3, interpret=interpret)
+    return _merge_phase([ks, s1, s2, s3], counts, interpret=interpret,
+                        interleaved=interleaved)
+
+
+def _merge_phase(planes, counts, interpret: bool = False,
+                 interleaved: bool = False):
+    """Merge-path levels over block-sorted (rows, LANES) planes."""
+    rows_total = planes[0].shape[0]
+    e = rows_total * LANES
     nblocks = e // BLOCK
     if nblocks == 1:
-        return tuple(a.reshape(-1) for a in (ks, s1, s2, s3))
+        return tuple(a.reshape(-1) for a in planes)
 
-    planes = [ks, s1, s2, s3]
     starts_rows = jnp.arange(nblocks, dtype=jnp.int32) * BLOCK_ROWS
     stored = jnp.full((nblocks,), BLOCK, jnp.int32)
     live = counts

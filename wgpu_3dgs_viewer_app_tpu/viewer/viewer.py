@@ -41,6 +41,9 @@ from ..ops.composite import (
     over_background,
 )
 from ..ops.preprocess import preprocess
+from ..utils.log import get_logger
+
+_log = get_logger("viewer")
 from .buffers import GaussianBuffers
 
 
@@ -163,6 +166,7 @@ class MultiModelViewer:
         m = ViewerModel(key, capacity or g.count, self.comp)
         m.set_gaussians(g)
         self.models[key] = m
+        _log.debug("add_model %r: %d splats, comp=%s", key, g.count, self.comp)
         return m
 
     def add_empty_model(self, key: str, capacity: int) -> ViewerModel:
@@ -170,6 +174,7 @@ class MultiModelViewer:
         key = self.dedup_key(key)
         m = ViewerModel(key, capacity, self.comp)
         self.models[key] = m
+        _log.debug("add_empty_model %r: capacity %d (streaming)", key, capacity)
         return m
 
     def dedup_key(self, key: str) -> str:
@@ -186,6 +191,7 @@ class MultiModelViewer:
         if len(self.models) <= 1:
             raise ValueError("cannot remove the last model")
         del self.models[key]
+        _log.debug("remove_model %r (%d left)", key, len(self.models))
 
     def set_compressions(self, comp: Compressions) -> None:
         """Switch compression on a LOADED scene: re-pack every model's pod
@@ -197,6 +203,8 @@ class MultiModelViewer:
         over unchanged — it is compression-independent."""
         if comp == self.comp:
             return
+        _log.info("set_compressions %s -> %s: re-packing %d model(s)",
+                  self.comp, comp, len(self.models))
         self.comp = comp
         for m in self.models.values():
             old = m.buffers
