@@ -385,21 +385,81 @@ def _enum_cell(d: int, tx0, rw, ty0, rh):
     return etx, ety
 
 
+def _tight_cull_params(r_signed, p2s, p3s):
+    """Per-splat tight-culling precursors, derived from the signed live
+    radius (negative/zero = invalid) and the PACKED conic planes, so every
+    enumeration path (jnp / Pallas / fused) culls with the same f16-rounded
+    conic the compositor evaluates (culling is then exact w.r.t. the
+    rendered contribution threshold, not the pre-quantization one).
+
+    radius = sigma_max * cut and lambda_min(conic) = 1/sigma_max^2, so the
+    live-boundary level of the quadratic form q(d) = a dx^2 + 2b dx dy +
+    c dy^2 is cut2 = radius^2 * lambda_min. This reproduces
+    2*ln(alpha/ALPHA_EPS) in splat mode and the flat power cutoff 4 in
+    ellipse/point modes without any mode plumbing (preprocess already baked
+    the mode into radius). The cut ellipse {q <= cut2} has the AABB
+    half-extents sqrt(cov_xx * cut2) = radius * sqrt(c * lam_min / det)
+    with cov = conic^{-1} — always <= radius, strictly smaller for
+    anisotropic splats, so the tile rect shrinks by ~the aspect ratio.
+
+    Returns ((cut2, a, b, c, 1/a, 1/c), rx, ry)."""
+    a, b = unpack2xf16(p2s)
+    c = _f16_bits_to_f32(p3s & jnp.uint32(0xFFFF))
+    det = jnp.maximum(a * c - b * b, 1e-20)
+    half = 0.5 * (a + c)
+    lam_min = jnp.maximum(
+        half - jnp.sqrt(jnp.maximum(half * half - det, 0.0)), 1e-12
+    )
+    r = jnp.maximum(r_signed, 0.0)
+    cut2 = jnp.where(r_signed > 0, r * r * lam_min, -1.0)
+    scale = jnp.sqrt(jnp.maximum(cut2, 0.0) / det)
+    # min() guards f16 degenerate conics: mathematically the AABB is inside
+    # the circle (c * lam_min / det = c / lam_max <= 1).
+    rx = jnp.minimum(jnp.sqrt(jnp.maximum(c, 0.0)) * scale, r)
+    ry = jnp.minimum(jnp.sqrt(jnp.maximum(a, 0.0)) * scale, r)
+    inv_a = 1.0 / jnp.maximum(a, 1e-12)
+    inv_c = 1.0 / jnp.maximum(c, 1e-12)
+    return (cut2, a, b, c, inv_a, inv_c), rx, ry
+
+
 def _entry_planes_for_cell(
-    d: int, x, y, r2s, key_lo, p1_base, tx0, rw, ty0, rh, n_touched, cfg: TileConfig
+    d: int, x, y, cull, key_lo, p1_base, tx0, rw, ty0, rh, n_touched, cfg: TileConfig
 ):
     """One duplicate plane: (key, p1) for center-out cell d of every splat."""
+    cut2, ca, cb, cc, inv_a, inv_c = cull
     tile = float(cfg.tile)
     etx, ety = _enum_cell(d, tx0, rw, ty0, rh)
     ox = etx.astype(jnp.float32) * tile
     oy = ety.astype(jnp.float32) * tile
-    # Tight tile culling: drop rect cells whose nearest point to the splat
-    # center is outside the live radius (rect corners often miss the
-    # ellipse; typically trims ~20-40% of entries before the sort).
-    cx = jnp.clip(x, ox, ox + tile)
-    cy = jnp.clip(y, oy, oy + tile)
-    dist2 = (x - cx) ** 2 + (y - cy) ** 2
-    live = (d < n_touched) & (dist2 <= r2s)
+    # Exact tile culling: keep the cell iff the Gaussian's contribution
+    # anywhere in the tile rect can reach the compositor's ALPHA_EPS floor,
+    # i.e. min over the rect of q(dx, dy) <= cut2. The min of a PD quadratic
+    # over a rect is 0 if the center is inside, else it lies on one of the
+    # four edges, where the 1D minimizer has a closed form (clamped to the
+    # edge segment). Rect corners and even whole edge bands of the
+    # circular-radius rect often miss the cut ellipse — this typically trims
+    # 25-50% of candidate entries before the sort (anisotropy-dependent).
+    dx0 = ox - x
+    dx1 = dx0 + tile
+    dy0 = oy - y
+    dy1 = dy0 + tile
+    inside = (dx0 <= 0) & (dx1 >= 0) & (dy0 <= 0) & (dy1 >= 0)
+
+    def q(dx, dy):
+        return (ca * dx + 2.0 * cb * dy) * dx + cc * dy * dy
+
+    yv0 = jnp.clip(-cb * dx0 * inv_c, dy0, dy1)  # vertical edge x = dx0
+    yv1 = jnp.clip(-cb * dx1 * inv_c, dy0, dy1)
+    xh0 = jnp.clip(-cb * dy0 * inv_a, dx0, dx1)  # horizontal edge y = dy0
+    xh1 = jnp.clip(-cb * dy1 * inv_a, dx0, dx1)
+    qmin = jnp.minimum(
+        jnp.minimum(q(dx0, yv0), q(dx1, yv1)),
+        jnp.minimum(q(xh0, dy0), q(xh1, dy1)),
+    )
+    qmin = jnp.where(inside, 0.0, qmin)
+    # NaN-safe for invalid splats (garbage conics): NaN comparisons are
+    # False and cut2 is -1 there, so live is False either way.
+    live = (d < n_touched) & (qmin <= cut2)
     tile_id = (ety * cfg.tiles_x + etx).astype(jnp.uint32)
     key = jnp.where(
         live,
@@ -423,27 +483,29 @@ def _entry_planes_for_cell(
     return key, p1
 
 
-def _splat_rect(x, y, r, cfg: TileConfig):
+def _splat_rect(x, y, rx, ry, cfg: TileConfig):
+    """Tile rect of the per-axis half-extents (the cut ellipse's AABB)."""
     tile = float(cfg.tile)
-    tx0 = jnp.clip(jnp.floor((x - r) / tile), 0, cfg.tiles_x - 1).astype(jnp.int32)
-    tx1 = jnp.clip(jnp.floor((x + r) / tile), 0, cfg.tiles_x - 1).astype(jnp.int32)
-    ty0 = jnp.clip(jnp.floor((y - r) / tile), 0, cfg.tiles_y - 1).astype(jnp.int32)
-    ty1 = jnp.clip(jnp.floor((y + r) / tile), 0, cfg.tiles_y - 1).astype(jnp.int32)
+    tx0 = jnp.clip(jnp.floor((x - rx) / tile), 0, cfg.tiles_x - 1).astype(jnp.int32)
+    tx1 = jnp.clip(jnp.floor((x + rx) / tile), 0, cfg.tiles_x - 1).astype(jnp.int32)
+    ty0 = jnp.clip(jnp.floor((y - ry) / tile), 0, cfg.tiles_y - 1).astype(jnp.int32)
+    ty1 = jnp.clip(jnp.floor((y + ry) / tile), 0, cfg.tiles_y - 1).astype(jnp.int32)
     rw = tx1 - tx0 + 1
     rh = ty1 - ty0 + 1
     return tx0, rw, ty0, rh, rw * rh
 
 
-def _enumerate_entries_jnp(x, y, r, r2s, key_lo, p1_base, p2s, p3s, cfg: TileConfig):
+def _enumerate_entries_jnp(x, y, r_signed, key_lo, p1_base, p2s, p3s, cfg: TileConfig):
     """(D, N)-oriented enumeration (portable reference; the minor dim stays
     the large N so intermediates keep compact layouts)."""
     n = x.shape[0]
     dmax = cfg.max_dup
-    tx0, rw, ty0, rh, n_touched = _splat_rect(x, y, r, cfg)
+    cull, rx, ry = _tight_cull_params(r_signed, p2s, p3s)
+    tx0, rw, ty0, rh, n_touched = _splat_rect(x, y, rx, ry, cfg)
     keys, p1s = [], []
     for d in range(dmax):
         key_d, p1_d = _entry_planes_for_cell(
-            d, x, y, r2s, key_lo, p1_base, tx0, rw, ty0, rh, n_touched, cfg
+            d, x, y, cull, key_lo, p1_base, tx0, rw, ty0, rh, n_touched, cfg
         )
         keys.append(key_d)
         p1s.append(p1_d)
@@ -467,18 +529,19 @@ def _enumerate_entries_jnp(x, y, r, r2s, key_lo, p1_base, p2s, p3s, cfg: TileCon
     )
 
 
-def _enum_pack_kernel(x_ref, y_ref, r_ref, r2_ref, klo_ref, p1b_ref, p2_ref, p3_ref,
+def _enum_pack_kernel(x_ref, y_ref, r_ref, klo_ref, p1b_ref, p2_ref, p3_ref,
                       keys_ref, p1_ref, p2o_ref, p3o_ref, *, cfg: TileConfig):
     """Pallas enumeration: one grid step handles a (Rb, 128) splat block and
     writes its (Rb, D, 128) entry planes — entry order (row, d, lane), chosen
     so the 3D->1D flatten is layout-preserving (no relayout copy before the
     sort; the (D, N)-major jnp order costs 4 while-loop relayouts)."""
     x, y = x_ref[...], y_ref[...]
-    r2s, key_lo, p1_base = r2_ref[...], klo_ref[...], p1b_ref[...]
-    tx0, rw, ty0, rh, n_touched = _splat_rect(x, y, r_ref[...], cfg)
+    key_lo, p1_base = klo_ref[...], p1b_ref[...]
+    cull, rx, ry = _tight_cull_params(r_ref[...], p2_ref[...], p3_ref[...])
+    tx0, rw, ty0, rh, n_touched = _splat_rect(x, y, rx, ry, cfg)
     for d in range(cfg.max_dup):  # static unroll
         key_d, p1_d = _entry_planes_for_cell(
-            d, x, y, r2s, key_lo, p1_base, tx0, rw, ty0, rh, n_touched, cfg
+            d, x, y, cull, key_lo, p1_base, tx0, rw, ty0, rh, n_touched, cfg
         )
         keys_ref[:, d, :] = key_d
         p1_ref[:, d, :] = p1_d
@@ -487,7 +550,7 @@ def _enum_pack_kernel(x_ref, y_ref, r_ref, r2_ref, klo_ref, p1b_ref, p2_ref, p3_
 
 
 def _enumerate_entries_pallas(
-    x, y, r, r2s, key_lo, p1_base, p2s, p3s, cfg: TileConfig, interpret: bool = False
+    x, y, r_signed, key_lo, p1_base, p2s, p3s, cfg: TileConfig, interpret: bool = False
 ):
     from jax.experimental import pallas as pl
 
@@ -495,12 +558,11 @@ def _enumerate_entries_pallas(
     rb = 256
     pad = (-n) % (ROW * rb)
     if pad:
-        # Padded splats carry r2s = -1 -> never live -> sentinel keys.
-        x, y, r, key_lo, p1_base, p2s, p3s = (
+        # Padded splats carry r_signed = 0 -> cut2 = -1 -> never live.
+        x, y, r_signed, key_lo, p1_base, p2s, p3s = (
             jnp.concatenate([a, jnp.zeros(pad, a.dtype)])
-            for a in (x, y, r, key_lo, p1_base, p2s, p3s)
+            for a in (x, y, r_signed, key_lo, p1_base, p2s, p3s)
         )
-        r2s = jnp.concatenate([r2s, jnp.full(pad, -1.0, r2s.dtype)])
     n_pad = n + pad
     rows_total = n_pad // ROW
     grid = (rows_total // rb,)
@@ -511,7 +573,7 @@ def _enumerate_entries_pallas(
 
     out_spec = pl.BlockSpec((rb, d, ROW), lambda i: (i, 0, 0))
     out_shape = jax.ShapeDtypeStruct((rows_total, d, ROW), jnp.uint32)
-    ins = [a.reshape(rows_total, ROW) for a in (x, y, r, r2s, key_lo, p1_base, p2s, p3s)]
+    ins = [a.reshape(rows_total, ROW) for a in (x, y, r_signed, key_lo, p1_base, p2s, p3s)]
     kernel = functools.partial(_enum_pack_kernel, cfg=cfg)
     keys, p1, p2, p3 = pl.pallas_call(
         kernel,
@@ -524,13 +586,13 @@ def _enumerate_entries_pallas(
     return tuple(a.reshape(-1) for a in (keys, p1, p2, p3))
 
 
-def _enumerate_entries(x, y, r, r2s, key_lo, p1_base, p2s, p3s, cfg, impl):
+def _enumerate_entries(x, y, r_signed, key_lo, p1_base, p2s, p3s, cfg, impl):
     if impl == "auto":
         impl = "pallas" if jax.default_backend() == "tpu" else "jnp"
     if impl == "jnp":
-        return _enumerate_entries_jnp(x, y, r, r2s, key_lo, p1_base, p2s, p3s, cfg)
+        return _enumerate_entries_jnp(x, y, r_signed, key_lo, p1_base, p2s, p3s, cfg)
     return _enumerate_entries_pallas(
-        x, y, r, r2s, key_lo, p1_base, p2s, p3s, cfg, interpret=impl == "interpret"
+        x, y, r_signed, key_lo, p1_base, p2s, p3s, cfg, interpret=impl == "interpret"
     )
 
 
@@ -559,13 +621,14 @@ def enumerate_entries_from_pre(
         | (r8 << jnp.uint32(16))
         | (g8 << jnp.uint32(24))
     )
-    # Validity folded into the tight-cull radius: dist2 >= 0 > -1 always
-    # fails, so invalid splats produce no live cells.
-    r2s = jnp.where(pre.valid, pre.radius * pre.radius, -1.0)
+    # Validity folded into the signed live radius: r_signed <= 0 maps to
+    # cut2 = -1 inside _tight_cull_params, so invalid splats have no live
+    # cells (qmin >= 0 > -1 always fails).
+    r_signed = jnp.where(pre.valid, pre.radius, -1.0)
 
     # --- per-entry enumeration + packing (N*D,) ---
     return _enumerate_entries(
-        x, y, pre.radius, r2s, key_lo, p1_base, p2s, p3s, cfg, impl
+        x, y, r_signed, key_lo, p1_base, p2s, p3s, cfg, impl
     )
 
 

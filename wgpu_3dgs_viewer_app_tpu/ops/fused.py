@@ -44,6 +44,7 @@ from .binning import (
     _entry_planes_for_cell,
     _sorted_entries_from_sorted,
     _splat_rect,
+    _tight_cull_params,
     depth_alpha_key_lo,
 )
 from .preprocess import ALPHA_EPS
@@ -253,13 +254,16 @@ def _kernel(
 
     p2s = pack2xf16(ca, cb)
     p3s = f32_to_f16_bits(cc) | (r8 << jnp.uint32(16)) | (g8 << jnp.uint32(24))
-    r2s = jnp.where(valid, radius * radius, -1.0)
+    # Tight-cull params derive from the PACKED planes (f16-rounded conic) so
+    # the fused path culls identically to the jnp/Pallas enum paths.
+    r_signed = jnp.where(valid, radius, -1.0)
+    cull, rx, ry = _tight_cull_params(r_signed, p2s, p3s)
 
-    tx0, rw, ty0, rh, n_touched = _splat_rect(px, py, radius, cfg)
+    tx0, rw, ty0, rh, n_touched = _splat_rect(px, py, rx, ry, cfg)
     if not presort:
         for dcell in range(cfg.max_dup):
             key_d, p1_d = _entry_planes_for_cell(
-                dcell, px, py, r2s, key_lo, p1_base, tx0, rw, ty0, rh, n_touched, cfg
+                dcell, px, py, cull, key_lo, p1_base, tx0, rw, ty0, rh, n_touched, cfg
             )
             keys_ref[:, dcell, :] = key_d
             p1_ref[:, dcell, :] = p1_d
@@ -279,7 +283,7 @@ def _kernel(
     kparts, p1parts = [], []
     for dcell in range(cfg.max_dup):
         key_d, p1_d = _entry_planes_for_cell(
-            dcell, px, py, r2s, key_lo, p1_base, tx0, rw, ty0, rh, n_touched, cfg
+            dcell, px, py, cull, key_lo, p1_base, tx0, rw, ty0, rh, n_touched, cfg
         )
         kparts.append(key_d)
         p1parts.append(p1_d)
