@@ -217,9 +217,12 @@ def bench_config3(results):
     hl = jnp.asarray([1.0, 0.0, 1.0, 0.4], jnp.float32)
 
     def step(pod, view, proj):
+        # Selection geometry pass: degree-0 (means/valid only) — mirrors the
+        # app's `_preprocess_selected` trim (app/state.py), which skips the
+        # SH color math the query never reads.
         pre = preprocess(
             pod, comp, view, proj, jnp.eye(4), cfg.width, cfg.height,
-            sh_degree=3, display_mode=0,
+            sh_degree=0, display_mode=0,
         )
         bits = select_rect(pre, (400.0, 200.0), (1400.0, 800.0))
         pre2 = preprocess(

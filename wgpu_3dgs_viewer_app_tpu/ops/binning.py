@@ -415,6 +415,12 @@ def _tight_cull_params(r_signed, p2s, p3s):
     scale = jnp.sqrt(jnp.maximum(cut2, 0.0) / det)
     # min() guards f16 degenerate conics: mathematically the AABB is inside
     # the circle (c * lam_min / det = c / lam_max <= 1).
+    # NB: for the few splats whose mean/extent lands within cross-backend
+    # float wobble of a tile boundary, the rect (and with it the center-out
+    # max_dup slot order) can differ between the Mosaic and XLA paths —
+    # quantizing rx/x cannot reduce that flip probability (it is
+    # wobble/boundary-spacing for any grid); the hardware image tests bound
+    # the effect statistically instead (tests/test_image_tpu.py).
     rx = jnp.minimum(jnp.sqrt(jnp.maximum(c, 0.0)) * scale, r)
     ry = jnp.minimum(jnp.sqrt(jnp.maximum(a, 0.0)) * scale, r)
     inv_a = 1.0 / jnp.maximum(a, 1e-12)

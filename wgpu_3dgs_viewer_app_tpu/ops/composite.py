@@ -75,7 +75,11 @@ def _excl_cumprod_lanes(om: jnp.ndarray, use_roll: bool):
     c = om.shape[-1]
     if use_roll:
         incl = om
-        col = jax.lax.broadcasted_iota(jnp.int32, om.shape, len(om.shape) - 1)
+        # Narrow (1, C) mask row: the per-stage wrap guard compare happens
+        # once per lane, not per (pixel, lane).
+        col = jax.lax.broadcasted_iota(
+            jnp.int32, (1,) * (len(om.shape) - 1) + (c,), len(om.shape) - 1
+        )
         shift = 1
         while shift < c:
             rolled = pltpu.roll(incl, shift, axis=len(om.shape) - 1)
@@ -555,9 +559,20 @@ def _composite_kernel_v2(
             # Fold tcur after the lane reductions ((P, 1) narrow mults)
             # instead of into the (P, C)-wide w.
             w = excl * a
-            rgb_buf[:, 0:1] = rgb_buf[:, 0:1] + tcur * jnp.sum(w * r, -1, keepdims=True)
-            rgb_buf[:, 1:2] = rgb_buf[:, 1:2] + tcur * jnp.sum(w * g, -1, keepdims=True)
-            rgb_buf[:, 2:3] = rgb_buf[:, 2:3] + tcur * jnp.sum(w * b, -1, keepdims=True)
+            # The three per-color weighted lane reductions ride the MXU as
+            # ONE (P, C) @ (C, 8) matmul (colors stacked, zero-padded to the
+            # systolic-friendly 8): replaces ~9 VPU-wide mult+reduce ops
+            # with a matmul that is ~2 orders cheaper on the MXU even at
+            # HIGHEST (f32) precision.
+            cmat = jnp.concatenate(
+                [r, g, b, jnp.zeros((5, ROW), jnp.float32)], axis=0
+            )  # (8, C)
+            sums = jax.lax.dot_general(
+                w, cmat, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )  # (P, 8)
+            rgb_buf[:, 0:3] = rgb_buf[:, 0:3] + tcur * sums[:, 0:3]
             t_buf[:] = tcur * incl[:, ROW - 1 : ROW]
             return c + 1, 0
 

@@ -254,11 +254,14 @@ _NR = CHUNK_ROWS + 8  # piece DMA rows: +1 for unaligned pieces, 8-aligned
  _M_LENW) = range(9)
 
 
-def _ragged_level_meta(keys, starts_rows, stored, live, ncells: int):
+def _ragged_level_meta(keys, starts_rows, stored, live, ncells: int,
+                       n_iters: int = 25):
     """Merge-level metadata over ragged runs (all entry counts, not rows).
 
     keys: flat (Ealloc,) u32; starts_rows/stored/live: (nruns,) i32 run
     descriptors (stored/starts in entries/rows, multiples of 128/1 row).
+    `n_iters` bounds the split binary search: ceil(log2(max run size)) + 1
+    iterations suffice (the search interval is at most the smaller run).
     Returns meta (ncells, 8) i32 plus next-level run descriptors.
     """
     e_alloc = keys.shape[0]
@@ -333,8 +336,11 @@ def _ragged_level_meta(keys, starts_rows, stored, live, ncells: int):
             new_hi = jnp.where(alive & ~take, m, hi)
             return new_lo, new_hi
 
-        # 25 iterations cover any pair capacity up to 2^25 = 33.5M entries.
-        lo, hi = jax.lax.fori_loop(0, 25, body, (lo, hi))
+        # The interval [lo, hi] starts no wider than the smaller run, so
+        # log2(max run size) + 1 halvings close it (early levels need far
+        # fewer than the worst-case 25; the probes are serial HBM gathers,
+        # so trimming iterations trims real per-level latency).
+        lo, hi = jax.lax.fori_loop(0, n_iters, body, (lo, hi))
         return lo
 
     a01 = split(jnp.concatenate([r0c, r1c]))
@@ -633,6 +639,10 @@ def _merge_phase(planes, counts, interpret: bool = False,
     live = counts
     nruns = nblocks
     inter = None
+    # Static per-level cap on run size (doubles each level; the +1 row of
+    # rounding slack per merge is absorbed by the ceil) — bounds the split
+    # search depth.
+    run_cap = BLOCK
     while nruns > 1:
         npairs = -(-nruns // 2)
         # Static worst-case cells: all rows live (+ <=1 slack row per pair)
@@ -641,9 +651,12 @@ def _merge_phase(planes, counts, interpret: bool = False,
         # Output rows: stored (<= rows_total + 1 slack row per pair) plus
         # each pair's private CHUNK_ROWS spill pad.
         out_rows = rows_total + npairs * (CHUNK_ROWS + 1)
+        n_iters = max(run_cap, 2).bit_length() + 1
         meta, starts_rows, stored, live = _ragged_level_meta(
-            planes[0].reshape(-1), starts_rows, stored, live, ncells
+            planes[0].reshape(-1), starts_rows, stored, live, ncells,
+            n_iters=n_iters,
         )
+        run_cap = 2 * run_cap + 2 * LANES
         last = interleaved and npairs == 1
         out = _merge_level(planes, meta, out_rows, interpret=interpret,
                            interleaved=last)
