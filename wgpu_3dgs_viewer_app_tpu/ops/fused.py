@@ -278,7 +278,14 @@ def _kernel(
     # concatenate along rows. Blocks alternate asc/desc by step-local
     # parity, which equals global parity because each step holds an even
     # block count (asserted by the caller).
-    from .sort import BLOCK_ROWS as SORT_BLOCK_ROWS, _block_sort_body, _from_ord, _to_ord
+    from .sort import (
+        LANES as SORT_LANES,
+        BLOCK_ROWS as SORT_BLOCK_ROWS,
+        _block_sort_body,
+        _from_ord,
+        _to_ord,
+        _transpose_tiles,
+    )
 
     kparts, p1parts = [], []
     for dcell in range(cfg.max_dup):
@@ -294,7 +301,10 @@ def _kernel(
         jnp.concatenate([p2s] * cfg.max_dup, axis=0),
         jnp.concatenate([p3s] * cfg.max_dup, axis=0),
     ]
-    ops = _block_sort_body(ops, rows, SORT_BLOCK_ROWS)
+    lane_major = SORT_BLOCK_ROWS == SORT_LANES
+    ops = _block_sort_body(ops, rows, SORT_BLOCK_ROWS, lane_major=lane_major)
+    if lane_major:
+        ops = [_transpose_tiles(o, SORT_BLOCK_ROWS) for o in ops]
     keys_ref[...] = _from_ord(ops[0])
     p1_ref[...], p2_ref[...], p3_ref[...] = ops[1:]
 
@@ -371,8 +381,12 @@ def enumerate_entries_fused(
 
     pos = pod["pos"]
     rows_total = pos.shape[-2]
+    # Non-presort footprint scales with rb*d (4 output planes double-buffered
+    # + d dup-plane temporaries at the concat): rb=128 at d=16 measures
+    # 16.05 MB scoped — 52 KB over the limit. Cap rb*d <= 1024 (d<=8, the
+    # bench and interactive defaults, keep the full 128 rows).
     rb = _presort_rb(rows_total, cfg.max_dup) if presort else min(
-        ROWS_PER_BLOCK, rows_total
+        ROWS_PER_BLOCK, rows_total, max(1024 // cfg.max_dup, 8)
     )
     pad_rows = (-rows_total) % rb
 
@@ -486,7 +500,12 @@ def build_sorted_entries_fused(
         and (rb * d) % 128 == 0
         and ((rb * d) // 128) % 2 == 0
     )
-    presort = presort_ok if presort is None else (presort and presort_ok)
+    # Default OFF since the lane-major block sort: the standalone phase-1
+    # kernel now runs small strides on sublane rolls (30.8 -> 17.5 ms at
+    # 24M), while the in-enum presort still pays the VMEM-pressure price
+    # (rb capped at 128 vs 256 rows) — measured 94.7 vs 89.9 ms headline.
+    # The flag remains for geometries where the separate pass loses.
+    presort = False if presort is None else (presort and presort_ok)
     keys, p1, p2, p3 = enumerate_entries_fused(
         pod, comp, cfg, view, proj, model, sh_degree, no_sh0, size,
         display_mode, interpret, presort=presort,
