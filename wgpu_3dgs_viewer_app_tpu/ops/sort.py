@@ -549,8 +549,14 @@ def _merge_kernel(meta_ref, ka_ref, p1a_ref, p2a_ref, p3a_ref,
         ops = []
         for op in range(4):
             pa = _cyclic_shift_left(pieces[slot, 0, op], a_delta)[:CHUNK_ROWS]
-            pb = _cyclic_shift_left(pieces[slot, 1, op], b_delta)[:CHUNK_ROWS]
-            pb = _cyclic_shift_left(pb, (CHUNK - b_off) % CHUNK)
+            # Realign (left by b_delta) and rotate-into-position (right by
+            # b_off) compose into ONE cyclic shift of the raw piece: live
+            # entries e in [b_off, b_off+lenb) need piece[e - b_off +
+            # b_delta], which is in [0, _NR*LANES) — everything outside the
+            # window is masked below, so the differing moduli don't matter.
+            pb = _cyclic_shift_left(
+                pieces[slot, 1, op], (b_delta - b_off) % (_NR * LANES)
+            )[:CHUNK_ROWS]
             if op == 0:
                 s = jnp.where(e_iota < lena, _to_ord(pa),
                               jnp.where(in_b, _to_ord(pb), pad_key))
@@ -559,19 +565,33 @@ def _merge_kernel(meta_ref, ka_ref, p1a_ref, p2a_ref, p3a_ref,
             ops.append(s)
 
         # Bitonic merge of [asc piece | desc piece] in the output direction.
-        j = CHUNK // 2
-        while j >= 1:
+        # Strides >= LANES ride cheap sublane rolls in row-major order; for
+        # the 7 small strides, transpose each 128x128 tile so they ride
+        # sublane rolls too (cross-lane rolls measure ~4x slower — the same
+        # trade that cut phase 1 30.8 -> 17.5 ms), then transpose back for
+        # the row-major output DMA. A stride-j<128 partner stays inside its
+        # 128-entry group, so per-tile transposes never split a pair.
+        def stage(ops, j, lane_major):
             k = ops[0]
-            pk, is_lower = _partner(k, j, lane_iota, row_iota)
+            pk, is_lower = _partner(k, j, lane_iota, row_iota, lane_major)
             want_min = is_lower == asc
             knew = jnp.where(want_min, jnp.minimum(k, pk), jnp.maximum(k, pk))
             swap = knew != k
             nxt = [knew]
             for pvals in ops[1:]:
-                pp, _ = _partner(pvals, j, lane_iota, row_iota)
+                pp, _ = _partner(pvals, j, lane_iota, row_iota, lane_major)
                 nxt.append(jnp.where(swap, pp, pvals))
-            ops = nxt
+            return nxt
+
+        j = CHUNK // 2
+        while j >= LANES:
+            ops = stage(ops, j, False)
             j //= 2
+        ops = [_transpose_tiles(o, LANES) for o in ops]
+        while j >= 1:
+            ops = stage(ops, j, True)
+            j //= 2
+        ops = [_transpose_tiles(o, LANES) for o in ops]
 
         outbuf[oslot, 0] = _from_ord(ops[0])
         for op in range(1, 4):
