@@ -405,7 +405,10 @@ def orchestrate(args):
         return
 
     plan = [("0", 900), ("1", 1800)]
-    if not args.headline_only:
+    if args.breakdown:
+        # Per-stage diagnostic of the headline config only.
+        plan = [("1", 1800)]
+    elif not args.headline_only:
         plan += [("2", 1500), ("3", 1500), ("4", 1500)]
     for config, timeout in plan:
         extra = list(passthrough)

@@ -213,7 +213,9 @@ def test_v2_payload_carry_matches_oracle():
     assert np.abs(img - ref).max() < 0.08
 
 
-def test_v2_pallas_interpret_matches_jnp():
+@pytest.mark.parametrize("flat", [False, True])
+@pytest.mark.parametrize("transposed", [False, True])
+def test_v2_pallas_interpret_matches_jnp(flat, transposed):
     from wgpu_3dgs_viewer_app_tpu.ops import (
         build_sorted_entries,
         composite_tiles_jnp_v2,
@@ -223,8 +225,9 @@ def test_v2_pallas_interpret_matches_jnp():
     _, _, pre, _, _ = setup_scene(n=256, w=64, h=64, sh_degree=1)
     cfg = TileConfig(64, 64, tile=16, max_dup=16)
     entries = build_sorted_entries(pre, cfg)
-    a = composite_tiles_jnp_v2(entries, cfg)
-    b = composite_tiles_pallas_v2(entries, cfg, interpret=True)
+    a = composite_tiles_jnp_v2(entries, cfg, flat_mode=flat)
+    b = composite_tiles_pallas_v2(entries, cfg, flat_mode=flat,
+                                  interpret=True, transposed=transposed)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 

@@ -57,6 +57,36 @@ def test_block_sort_interpret(frac):
         assert pairs_w == pairs_g
 
 
+def test_block_sort_multi_subtile_blocks():
+    """Generalized mixed-layout dir mask: 256-row (32K-entry) tiles — the
+    one-fewer-merge-level block size — must sort asc/desc alternating
+    through the same kernel body (subtile-index direction bits ride row
+    bits 7+)."""
+    import functools
+
+    import jax
+    from jax.experimental import pallas as pl
+
+    from wgpu_3dgs_viewer_app_tpu.ops.sort import LANES, _block_sort_kernel
+
+    rows, block_rows = 512, 256
+    n = block_rows * LANES
+    k, p1, p2, p3 = _mk(rows * LANES, 0.3, 1 << 24, seed=7)
+    planes = [jnp.asarray(a).reshape(rows, LANES) for a in (k, p1, p2, p3)]
+    outs = pl.pallas_call(
+        functools.partial(_block_sort_kernel, rows=rows, block_rows=block_rows),
+        out_shape=[jax.ShapeDtypeStruct((rows, LANES), jnp.uint32)] * 4,
+        interpret=True,
+    )(*planes)
+    ks = np.asarray(outs[0]).ravel()
+    s1 = np.asarray(outs[1]).ravel()
+    for b, sign in ((0, 1), (1, -1)):
+        sl = slice(b * n, (b + 1) * n)
+        assert np.array_equal(np.sort(k[sl])[::sign], ks[sl]), f"block {b}"
+        assert sorted(zip(k[sl].tolist(), p1[sl].tolist())) == sorted(
+            zip(ks[sl].tolist(), s1[sl].tolist()))
+
+
 @pytest.mark.parametrize("e,frac,span", [
     (BLOCK, 0.3, 1 << 32),       # single block
     (3 * BLOCK, 0.4, 1 << 24),   # odd block count (sentinel pad block path)

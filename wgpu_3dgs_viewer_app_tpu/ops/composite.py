@@ -595,21 +595,188 @@ def _composite_kernel_v2(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "flat_mode", "interpret", "mxu"))
+def _excl_cumprod_rows(om: jnp.ndarray):
+    """Inclusive+exclusive cumulative product along axis 0 (sublanes).
+
+    The transposed-orientation twin of `_excl_cumprod_lanes(use_roll=True)`:
+    Hillis-Steele stages become SUBLANE rolls (~4x cheaper than the
+    cross-lane rolls the (P, C) orientation pays — same trade as the sort's
+    lane-major stages). Wrap guard is a narrow (C, 1) row-index mask."""
+    c = om.shape[0]
+    incl = om
+    row = jax.lax.broadcasted_iota(jnp.int32, (c, 1), 0)
+    shift = 1
+    while shift < c:
+        rolled = pltpu.roll(incl, shift, axis=0)
+        rolled = jnp.where(row < shift, 1.0, rolled)
+        incl = incl * rolled
+        shift *= 2
+    rolled = pltpu.roll(incl, 1, axis=0)
+    excl = jnp.where(row < 1, 1.0, rolled)
+    return incl, excl
+
+
+def _rows_to_cols(rows):
+    """Narrow (1, C) rows -> (C, 1) columns via ONE (8, C) -> (C, 8)
+    transpose (padded to 8 rows; a single 2D transpose beats per-row
+    relayouts)."""
+    k = len(rows)
+    assert k <= 8, k
+    c = rows[0].shape[-1]
+    mat = jnp.concatenate(
+        list(rows) + [jnp.zeros((8 - k, c), jnp.float32)], axis=0
+    )  # (8, C)
+    t = mat.T  # (C, 8)
+    return [t[:, i : i + 1] for i in range(k)]
+
+
+def _composite_kernel_v2t(
+    starts_ref,
+    counts_ref,
+    planes_hbm,
+    out_ref,
+    *,
+    cfg: TileConfig,
+    flat_mode: bool,
+):
+    """Transposed-orientation v2 kernel: compute shape (C entries on
+    SUBLANES, P pixels on lanes). The OIT scan runs along entries, so its
+    log2(C) Hillis-Steele stages ride sublane rolls instead of cross-lane
+    rolls; the color reduction stays one MXU matmul ((8, C) @ (C, P)); the
+    output buffer is natively (4, P) — no final in-kernel transpose. Per
+    chunk the only relayout is one (8, C) -> (C, 8) transpose of the narrow
+    decoded field rows."""
+    from .binning import ROW
+
+    t = pl.program_id(0)
+    tile = cfg.tile
+    p = tile * tile
+    start = starts_ref[t]
+    count = counts_ref[t]
+    row0 = start // ROW
+    n_chunks = jnp.where(count > 0, (start + count + ROW - 1) // ROW - row0, 0)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, p), 1)
+    px = (lane % tile).astype(jnp.float32) + 0.5  # (1, P) tile-local
+    py = (lane // tile).astype(jnp.float32) + 0.5
+    colr = jax.lax.broadcasted_iota(jnp.int32, (1, ROW), 1)
+    l2 = jnp.float32(LOG2E if _USE_EXP2 else 1.0)
+    s = jnp.float32(-0.5) * l2
+    cut = jnp.float32(FLAT_POWER_CUTOFF * (LOG2E if _USE_EXP2 else 1.0))
+
+    def scoped(buf, t_buf, rgb_buf, sems):
+        t_buf[:] = jnp.ones((1, p), jnp.float32)
+        rgb_buf[:] = jnp.zeros((4, p), jnp.float32)
+
+        def get_dma(slot, c):
+            return pltpu.make_async_copy(
+                planes_hbm.at[pl.ds(row0 + c, 1), :, :],
+                buf.at[slot],
+                sems.at[slot],
+            )
+
+        @pl.when(n_chunks > 0)
+        def _():
+            get_dma(0, 0).start()
+
+        def cond(state):
+            c, _ = state
+            return (c < n_chunks) & (jnp.max(t_buf[:]) > T_EPS)
+
+        def body(state):
+            c, _ = state
+            slot = jax.lax.rem(c, 2)
+            nxt = jax.lax.rem(c + 1, 2)
+
+            @pl.when(c + 1 < n_chunks)
+            def _():
+                get_dma(nxt, c + 1).start()
+
+            get_dma(slot, c).wait()
+            chunk = buf[slot][0]  # (4, ROW) u32
+            key, p1, p2, p3 = (chunk[i : i + 1] for i in range(4))
+            gidx = (row0 + c) * ROW + colr
+            live = (gidx >= start) & (gidx < start + count)
+            # Narrow (1, C) decode rows (live folded into opacity), then ONE
+            # transpose to (C, 1) columns.
+            op = jnp.where(live, _u8_unit(key, 0), 0.0)
+            inv = jnp.float32(1.0 / MEAN_FIX_SCALE)
+            mx = (p1 & jnp.uint32(0xFFF)).astype(jnp.int32).astype(
+                jnp.float32) * inv - MEAN_FIX_BIAS
+            my = ((p1 >> jnp.uint32(12)) & jnp.uint32(0xFFF)).astype(
+                jnp.int32).astype(jnp.float32) * inv - MEAN_FIX_BIAS
+            ca, cb = unpack2xf16(p2)
+            cc = _f16_bits_to_f32(p3 & jnp.uint32(0xFFFF))
+            r = _u8_unit(p3, 16)
+            g = _u8_unit(p3, 24)
+            b = _u8_unit(p1, 24)
+            opc, mxc, myc, a2c, b2c, c2c = _rows_to_cols(
+                [op, mx, my, ca * s, cb * -l2, cc * s]
+            )
+            dx = px - mxc  # (C, P)
+            dy = py - myc
+            power2 = (a2c * dx + b2c * dy) * dx + (c2c * dy) * dy
+            if flat_mode:
+                a = jnp.where(power2 >= cut, opc, 0.0)
+                a = jnp.broadcast_to(a, power2.shape)
+            else:
+                ex = jnp.exp2 if _USE_EXP2 else jnp.exp
+                a = opc * ex(jnp.minimum(power2, 0.0))
+            a = jnp.where(a < ALPHA_EPS, 0.0, a)
+            incl, excl = _excl_cumprod_rows(1.0 - a)
+            tcur = t_buf[0:1, :]
+            w = excl * a  # (C, P)
+            cmat = jnp.concatenate(
+                [r, g, b, jnp.zeros((5, ROW), jnp.float32)], axis=0
+            )  # (8, C)
+            sums = jax.lax.dot_general(
+                cmat, w, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )  # (8, P)
+            rgb_buf[0:3, :] = rgb_buf[0:3, :] + tcur * sums[0:3, :]
+            t_buf[:] = tcur * incl[ROW - 1 : ROW, :]
+            return c + 1, 0
+
+        c_final, _ = jax.lax.while_loop(cond, body, (jnp.int32(0), 0))
+
+        @pl.when(c_final < n_chunks)
+        def _():
+            get_dma(jax.lax.rem(c_final, 2), c_final).wait()
+
+        rgb_buf[3:4, :] = 1.0 - t_buf[:]
+        out_ref[0] = rgb_buf[:]
+
+    pl.run_scoped(
+        scoped,
+        buf=pltpu.VMEM((2, 1, N_PACKED_PLANES, ROW), jnp.uint32),
+        t_buf=pltpu.VMEM((1, p), jnp.float32),
+        rgb_buf=pltpu.VMEM((4, p), jnp.float32),
+        sems=pltpu.SemaphoreType.DMA((2,)),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "cfg", "flat_mode", "interpret", "mxu", "transposed"))
 def composite_tiles_pallas_v2(
     entries: SortedEntries,
     cfg: TileConfig,
     flat_mode: bool = False,
     interpret: bool = False,
     mxu: bool = False,
+    transposed: bool = True,
 ) -> jnp.ndarray:
     """Pallas v2 compositor. Returns (H, W, 4) f32.
 
+    `transposed` (default) computes per chunk in (C entries on sublanes,
+    P pixels on lanes) so the OIT scan's Hillis-Steele rolls ride sublanes
+    (~4x cheaper than cross-lane) — see `_composite_kernel_v2t`.
+
     mxu=True evaluates the per-chunk Gaussian exponent as a quadratic-basis
-    matmul on the MXU (splat mode). Measured on v5e it is a wash (~5% slower:
-    Mosaic pads the K=8 contraction to a full 128 MXU column, costing more
-    than the VPU ops it saves), so the VPU path is the default; kept as the
-    template for wider-K batched formulations.
+    matmul on the MXU (splat mode; row-major kernel only). Measured on v5e
+    it is a wash (~5% slower: Mosaic pads the K=8 contraction to a full 128
+    MXU column, costing more than the VPU ops it saves), so the VPU path is
+    the default; kept as the template for wider-K batched formulations.
     """
     tile = cfg.tile
     p = tile * tile
@@ -620,9 +787,14 @@ def composite_tiles_pallas_v2(
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((1, 4, p), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
     )
-    kernel = functools.partial(
-        _composite_kernel_v2, cfg=cfg, flat_mode=flat_mode, mxu=mxu
-    )
+    if transposed and not mxu:
+        kernel = functools.partial(
+            _composite_kernel_v2t, cfg=cfg, flat_mode=flat_mode
+        )
+    else:
+        kernel = functools.partial(
+            _composite_kernel_v2, cfg=cfg, flat_mode=flat_mode, mxu=mxu
+        )
     tiles = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,

@@ -284,7 +284,6 @@ def _kernel(
         _block_sort_body,
         _from_ord,
         _to_ord,
-        _transpose_tiles,
     )
 
     kparts, p1parts = [], []
@@ -301,10 +300,8 @@ def _kernel(
         jnp.concatenate([p2s] * cfg.max_dup, axis=0),
         jnp.concatenate([p3s] * cfg.max_dup, axis=0),
     ]
-    lane_major = SORT_BLOCK_ROWS == SORT_LANES
-    ops = _block_sort_body(ops, rows, SORT_BLOCK_ROWS, lane_major=lane_major)
-    if lane_major:
-        ops = [_transpose_tiles(o, SORT_BLOCK_ROWS) for o in ops]
+    layout = "mixed" if SORT_BLOCK_ROWS == SORT_LANES else "row"
+    ops = _block_sort_body(ops, rows, SORT_BLOCK_ROWS, layout=layout)
     keys_ref[...] = _from_ord(ops[0])
     p1_ref[...], p2_ref[...], p3_ref[...] = ops[1:]
 

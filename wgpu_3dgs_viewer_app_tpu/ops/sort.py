@@ -79,19 +79,21 @@ def _partner(x, j, lane_iota, row_iota, lane_major: bool = False):
     """Value at index (e ^ j) for every entry e of an (R, 128) tile.
 
     Entry order: row-major e = row*128 + lane, or — with `lane_major` —
-    e = lane*BLOCK_ROWS + row' within each BLOCK_ROWS-row tile. Lane-major
-    matters for throughput: small strides become SUBLANE rolls, which the
-    VPU executes ~4x faster than cross-lane rolls (measured 0.40 vs 1.56
-    ps/elem on v5e), and small strides are the frequent ones in a bitonic
-    network (77 of 105 stages at 16K blocks). Rolls that cross tile
-    boundaries are harmless: the XOR mask never selects wrapped values."""
+    e = lane*LANES + row' within each 128x128 SUBTILE (higher index bits
+    are subtile-row bits). Lane-major matters for throughput: small strides
+    become SUBLANE rolls, which the VPU executes ~4x faster than cross-lane
+    rolls (measured 0.40 vs 1.56 ps/elem on v5e), and small strides are the
+    frequent ones in a bitonic network (77 of 105 stages at 16K blocks).
+    Rolls that cross tile boundaries are harmless: the XOR mask never
+    selects wrapped values."""
     if lane_major:
-        if j < BLOCK_ROWS:
+        if j < LANES:
             lo = _roll_row(x, -j)
             hi = _roll_row(x, j)
             mask = (row_iota & j) == 0
         else:
-            jl = j // BLOCK_ROWS
+            assert j < LANES * LANES, j  # subtile bits ride row-major instead
+            jl = j // LANES
             lo = _roll_lane(x, -jl)
             hi = _roll_lane(x, jl)
             mask = (lane_iota & jl) == 0
@@ -127,29 +129,29 @@ def _compare_exchange(ops, j, dir_up, lane_iota, row_iota,
     return out
 
 
-def _dir_up_mask(krun, lane_iota, row_iota, lane_major: bool = False,
-                 block_n: int = 0):
+def _dir_up_mask(krun, lane_iota, row_iota, lane_major: bool = False):
     """Direction mask for run size `krun`: entries whose index bit
     log2(krun) is clear sort ascending.
 
-    Lane-major: index bits 0..log2(BLOCK_ROWS)-1 are row bits, the rest
-    lane bits — except bit log2(block_n) (the final full-block stage),
-    which exceeds the tile and IS the tile index: its parity lives in
-    row bit log2(BLOCK_ROWS) (tiles are BLOCK_ROWS-row aligned), giving
-    the alternating asc/desc tiles the merge levels consume."""
+    Lane-major (per 128x128 subtile, e = lane*LANES + row'): index bits
+    0..6 are row-within-subtile bits, bits 7..13 lane bits, and bits >= 14
+    subtile-index bits, which live in row bits 7+ (subtiles are 128-row
+    aligned) — so krun >= LANES^2 masks on (row_iota & krun >> 7). At
+    krun == the full block size the bit is the BLOCK-index parity, giving
+    the alternating asc/desc blocks the merge levels consume."""
     if lane_major:
-        if krun < BLOCK_ROWS:
+        if krun < LANES:
             return (row_iota & krun) == 0
-        if krun == block_n:
-            return (row_iota & BLOCK_ROWS) == 0
-        return (lane_iota & (krun // BLOCK_ROWS)) == 0
+        if krun < LANES * LANES:
+            return (lane_iota & (krun // LANES)) == 0
+        return (row_iota & (krun >> 7)) == 0
     if krun < LANES:
         return (lane_iota & krun) == 0
     return (row_iota & (krun // LANES)) == 0
 
 
 def _block_sort_body(ops, rows: int, block_rows: int = None,
-                     lane_major: bool = False):
+                     layout: str = "row"):
     """Bitonic sort of every `block_rows`-row tile of a (rows, 128) array;
     each tile sorts ascending independently. Returns ops.
 
@@ -159,17 +161,46 @@ def _block_sort_body(ops, rows: int, block_rows: int = None,
     difference between issue-bound 8-vreg ops per 64-row block (~29 ms at
     24M) and 128-vreg ops (measured below).
 
-    `lane_major` sorts each tile in the TRANSPOSED entry order
-    (e = lane*block_rows + row): small strides then ride ~4x-cheaper
-    sublane rolls (frequent), large strides the cross-lane rolls (rare) —
-    measured 30.8 -> ~20 ms at E=24M. A sorted lane-major tile transposed
-    back IS the row-major ascending tile, and a block sort is insensitive
-    to its input order, so callers only transpose the OUTPUT (~1 ps/elem,
-    `_transpose_tiles`)."""
+    `layout` picks the entry order the compare-exchange network sees:
+      * "row":   e = row*128 + lane. Strides < 128 (77 of 105 stages at 16K
+                 blocks) are cross-lane rolls — the slow path (~30.8 ms at
+                 E=24M).
+      * "lane":  e = lane*block_rows + row within each tile; small strides
+                 become ~4x-cheaper sublane rolls, large strides cross-lane
+                 (30.8 -> 17.5 ms). Caller transposes the OUTPUT (a sorted
+                 lane-major tile transposed back IS the row-major ascending
+                 tile; a block sort is insensitive to input order).
+      * "mixed": row-major in AND out; internally hops between layouts per
+                 stride segment so EVERY stage rides a sublane roll (strides
+                 >= 128 row-major, < 128 lane-major). ~16 per-tile
+                 transposes (~1 ps/elem each) replace the 28 remaining
+                 cross-lane stages. Requires square tiles."""
     block_rows = rows if block_rows is None else block_rows
     n = block_rows * LANES
     lane_iota = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 1)
     row_iota = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 0)
+    if layout == "mixed":
+        assert block_rows % LANES == 0, block_rows
+        # Enter lane-major: every stride of the first 7 pass sizes is < 128.
+        ops = [_transpose_tiles(o, LANES) for o in ops]
+        cur = True
+        size = 2
+        while size <= n:
+            # Direction bit: entry-index bit log2(size) — see the "row"
+            # branch below for why size == n yields alternating tiles.
+            j = size // 2
+            while j >= 1:
+                want = j < LANES
+                if want != cur:
+                    ops = [_transpose_tiles(o, LANES) for o in ops]
+                    cur = want
+                dir_up = _dir_up_mask(size, lane_iota, row_iota, cur)
+                ops = _compare_exchange(ops, j, dir_up, lane_iota, row_iota,
+                                        cur)
+                j //= 2
+            size *= 2
+        return [_transpose_tiles(o, LANES) for o in ops]
+    lane_major = layout == "lane"
     size = 2
     while size <= n:
         # Direction bit: entry-index bit log2(size). Within-tile index bits
@@ -178,7 +209,7 @@ def _block_sort_body(ops, rows: int, block_rows: int = None,
         # ALTERNATING asc/desc — exactly what the merge levels consume
         # (bitonic [asc | desc] pairs, no data reversal ever materializes).
         # Requires an even tile count per grid cell (asserted by callers).
-        dir_up = _dir_up_mask(size, lane_iota, row_iota, lane_major, n)
+        dir_up = _dir_up_mask(size, lane_iota, row_iota, lane_major)
         j = size // 2
         while j >= 1:
             ops = _compare_exchange(ops, j, dir_up, lane_iota, row_iota,
@@ -206,11 +237,9 @@ CELL_ROWS = 512
 def _block_sort_kernel(k_ref, p1_ref, p2_ref, p3_ref,
                        ko_ref, p1o_ref, p2o_ref, p3o_ref,
                        *, rows: int, block_rows: int):
-    lane_major = block_rows == LANES
+    layout = "mixed" if block_rows % LANES == 0 else "row"
     ops = [_to_ord(k_ref[...]), p1_ref[...], p2_ref[...], p3_ref[...]]
-    ops = _block_sort_body(ops, rows, block_rows, lane_major=lane_major)
-    if lane_major:
-        ops = [_transpose_tiles(o, block_rows) for o in ops]
+    ops = _block_sort_body(ops, rows, block_rows, layout=layout)
     ko_ref[...] = _from_ord(ops[0])
     p1o_ref[...], p2o_ref[...], p3o_ref[...] = ops[1:]
 
