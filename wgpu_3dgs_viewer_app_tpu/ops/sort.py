@@ -53,8 +53,12 @@ SENTINEL = 0xFFFFFFFF  # python int: jnp scalars cannot be captured by kernels
 
 # Phase-1 block: 128 rows x 128 lanes = 16384 entries (105 stages). Bigger
 # blocks trade phase-1 stages for one fewer merge level; 128 measured best
-# (64: 98 ms, 128/256: 91 ms at E=24M, 44% sentinels).
-BLOCK_ROWS = 128
+# pre-mixed-layout (64: 98 ms, 128/256: 91 ms at E=24M, 44% sentinels).
+# Env override is a BENCH TUNING KNOB for A/B on hardware (read at import;
+# all callers derive from BLOCK, so the pipeline stays self-consistent).
+import os as _os  # noqa: E402
+
+BLOCK_ROWS = int(_os.environ.get("GS_SORT_BLOCK_ROWS", "128"))
 BLOCK = BLOCK_ROWS * LANES
 
 
@@ -331,7 +335,7 @@ def block_sort(keys, p1, p2, p3, interpret: bool = False):
 #     buffer's tail is sentinel-restored for the downstream searchsorted.
 # ---------------------------------------------------------------------------
 
-CHUNK_ROWS = 256
+CHUNK_ROWS = int(_os.environ.get("GS_MERGE_CHUNK_ROWS", "256"))  # bench A/B knob
 CHUNK = CHUNK_ROWS * LANES  # entries per merge grid cell
 _NR = CHUNK_ROWS + 8  # piece DMA rows: +1 for unaligned pieces, 8-aligned
 # meta columns
