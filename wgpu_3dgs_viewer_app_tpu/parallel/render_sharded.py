@@ -50,7 +50,11 @@ from ..ops.composite import (
 )
 from ..ops.preprocess import preprocess
 
-SENTINEL = jnp.uint32(0xFFFFFFFF)
+# Python int, not jnp.uint32(...): a module-level device scalar would
+# initialize the default JAX backend AT IMPORT — before callers (e.g.
+# dryrun_multichip) can pin the platform/device. All uses are inside jnp
+# ops that coerce it with an explicit dtype.
+SENTINEL = 0xFFFFFFFF
 
 
 def make_mesh(devices=None, axis: str = "splats") -> Mesh:
@@ -136,7 +140,7 @@ def _route_entries(planes, axis: str, n_dev: int, boundaries, e_cap: int,
                 (jnp.minimum(starts[j], e_local), 0),
                 (cap_pair, planes.shape[1]),
             )
-            runs.append(jnp.where(idx < send[j], run, SENTINEL))
+            runs.append(jnp.where(idx < send[j], run, jnp.uint32(SENTINEL)))
         stacked = jnp.stack(runs, axis=0)  # (n_dev, cap_pair, 4)
         routed = jax.lax.all_to_all(stacked, axis, 0, 0, tiled=False)
         return routed.reshape(-1, planes.shape[1])
