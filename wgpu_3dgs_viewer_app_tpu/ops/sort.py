@@ -192,15 +192,18 @@ def _block_sort_body(ops, rows: int, block_rows: int = None,
         while size <= n:
             # Direction bit: entry-index bit log2(size) — see the "row"
             # branch below for why size == n yields alternating tiles.
+            # The mask is per-pass constant PER LAYOUT (at most 2 variants).
+            masks = {}
             j = size // 2
             while j >= 1:
                 want = j < LANES
                 if want != cur:
                     ops = [_transpose_tiles(o, LANES) for o in ops]
                     cur = want
-                dir_up = _dir_up_mask(size, lane_iota, row_iota, cur)
-                ops = _compare_exchange(ops, j, dir_up, lane_iota, row_iota,
-                                        cur)
+                if cur not in masks:
+                    masks[cur] = _dir_up_mask(size, lane_iota, row_iota, cur)
+                ops = _compare_exchange(ops, j, masks[cur], lane_iota,
+                                        row_iota, cur)
                 j //= 2
             size *= 2
         return [_transpose_tiles(o, LANES) for o in ops]
