@@ -155,7 +155,7 @@ def _dir_up_mask(krun, lane_iota, row_iota, lane_major: bool = False):
 
 
 def _block_sort_body(ops, rows: int, block_rows: int = None,
-                     layout: str = "row"):
+                     layout: str = "row", final_dir_up=None):
     """Bitonic sort of every `block_rows`-row tile of a (rows, 128) array;
     each tile sorts ascending independently. Returns ops.
 
@@ -178,11 +178,23 @@ def _block_sort_body(ops, rows: int, block_rows: int = None,
                  stride segment so EVERY stage rides a sublane roll (strides
                  >= 128 row-major, < 128 lane-major). ~16 per-tile
                  transposes (~1 ps/elem each) replace the 28 remaining
-                 cross-lane stages. Requires square tiles."""
+                 cross-lane stages. Requires square tiles.
+
+    `final_dir_up`: traced bool scalar overriding the FINAL pass direction
+    (the whole-tile sort direction). Required when a grid cell holds ONE
+    tile — the alternating-parity bit is then the grid index, not a row
+    bit (callers pass (program_id & 1) == 0)."""
     block_rows = rows if block_rows is None else block_rows
     n = block_rows * LANES
     lane_iota = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 1)
     row_iota = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 0)
+
+    def dir_mask(size, lm):
+        if size == n and final_dir_up is not None:
+            # Uniform per-cell direction: layout-independent broadcast.
+            return jnp.broadcast_to(final_dir_up, (rows, LANES))
+        return _dir_up_mask(size, lane_iota, row_iota, lm)
+
     if layout == "mixed":
         assert block_rows % LANES == 0, block_rows
         # Enter lane-major: every stride of the first 7 pass sizes is < 128.
@@ -201,7 +213,7 @@ def _block_sort_body(ops, rows: int, block_rows: int = None,
                     ops = [_transpose_tiles(o, LANES) for o in ops]
                     cur = want
                 if cur not in masks:
-                    masks[cur] = _dir_up_mask(size, lane_iota, row_iota, cur)
+                    masks[cur] = dir_mask(size, cur)
                 ops = _compare_exchange(ops, j, masks[cur], lane_iota,
                                         row_iota, cur)
                 j //= 2
@@ -215,8 +227,9 @@ def _block_sort_body(ops, rows: int, block_rows: int = None,
         # size == n the bit is the tile-index parity, so tiles come out
         # ALTERNATING asc/desc — exactly what the merge levels consume
         # (bitonic [asc | desc] pairs, no data reversal ever materializes).
-        # Requires an even tile count per grid cell (asserted by callers).
-        dir_up = _dir_up_mask(size, lane_iota, row_iota, lane_major)
+        # Requires an even tile count per grid cell (asserted by callers)
+        # or a `final_dir_up` override for single-tile cells.
+        dir_up = dir_mask(size, lane_major)
         j = size // 2
         while j >= 1:
             ops = _compare_exchange(ops, j, dir_up, lane_iota, row_iota,
@@ -245,8 +258,12 @@ def _block_sort_kernel(k_ref, p1_ref, p2_ref, p3_ref,
                        ko_ref, p1o_ref, p2o_ref, p3o_ref,
                        *, rows: int, block_rows: int):
     layout = "mixed" if block_rows % LANES == 0 else "row"
+    # Single-block cells (BLOCK_ROWS == CELL_ROWS) read the alternating
+    # direction from the grid index instead of a row bit.
+    final = (pl.program_id(0) % 2) == 0 if rows == block_rows else None
     ops = [_to_ord(k_ref[...]), p1_ref[...], p2_ref[...], p3_ref[...]]
-    ops = _block_sort_body(ops, rows, block_rows, layout=layout)
+    ops = _block_sort_body(ops, rows, block_rows, layout=layout,
+                           final_dir_up=final)
     ko_ref[...] = _from_ord(ops[0])
     p1o_ref[...], p2o_ref[...], p3o_ref[...] = ops[1:]
 
@@ -274,7 +291,14 @@ def block_sort(keys, p1, p2, p3, interpret: bool = False):
     # Ragged tail: fall back to one cell per block row-count if not divisible.
     while rows_run % cell_rows:
         cell_rows //= 2
-    assert cell_rows % (2 * BLOCK_ROWS) == 0 or nblocks == 1, (e, cell_rows)
+    if cell_rows % (2 * BLOCK_ROWS) and nblocks > 1:
+        # Odd block count per cell can't read tile parity from a row bit;
+        # single-block cells read it from the grid index instead
+        # (_block_sort_kernel's final_dir_up). Also the BLOCK_ROWS ==
+        # CELL_ROWS case (512-row blocks).
+        cell_rows = BLOCK_ROWS
+    assert cell_rows % (2 * BLOCK_ROWS) == 0 or nblocks == 1 \
+        or cell_rows == BLOCK_ROWS, (e, cell_rows)
 
     def spec():
         return pl.BlockSpec((cell_rows, LANES), lambda i: (i, 0),
