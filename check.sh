@@ -16,8 +16,12 @@ python -m pytest tests/ -q
 echo "== graft entry compile check"
 python - <<'PY'
 import sys; sys.path.insert(0, '.')
-import os; os.environ.setdefault('JAX_PLATFORMS', 'cpu')
-import jax, __graft_entry__ as ge
+# The config API, not os.environ: TPU boxes preimport jax in sitecustomize
+# with the ambient JAX_PLATFORMS=axon, so env mutation here is too late.
+# The quality gate must stay CPU-only (and not hang when the tunnel is down).
+import jax
+jax.config.update('jax_platforms', 'cpu')
+import __graft_entry__ as ge
 fn, args = ge.entry()
 out = jax.jit(fn)(*args)
 print('entry ok', out.shape)
