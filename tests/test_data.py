@@ -85,6 +85,24 @@ def test_ply_rejects_garbage():
         read_ply_header(io.BytesIO(b"not a ply\n"))
 
 
+@pytest.mark.parametrize("header", [
+    b"ply\nformat binary_little_endian 1.0\nelement vertex 4\n",  # no end_header
+    b"ply\nformat binary_little_endian 1.0\nend_header\n",        # no element
+    b"ply\nformat klingon 1.0\nelement vertex 4\nend_header\n",   # bad format
+    b"ply\nelement vertex 4\nend_header\n",                       # no format line
+    b"ply\nformat binary_little_endian 1.0\nelement vertex -3\n"
+    b"property float x\nend_header\n",                            # negative count
+], ids=["no-end", "no-element", "bad-format", "no-format", "negative-count"])
+def test_ply_header_fuzz_rejected(header):
+    """Malformed headers raise PlyError (never a crash or silent garbage) —
+    reference logs per-record errors but a broken header kills the load
+    (/root/reference/src/tab/scene.rs:340-356 semantics)."""
+    from wgpu_3dgs_viewer_app_tpu.data import PlyError
+
+    with pytest.raises((PlyError, ValueError)):
+        read_ply_header(io.BytesIO(header))
+
+
 def test_compressed_sizes_ordering():
     # Default = Norm8 SH + Half cov3d (ref src/app.rs:398-417).
     default = Compressions()
