@@ -387,6 +387,20 @@ def orchestrate(args):
     if not probe.get("ok"):
         errors["probe"] = probe.get("error", "?")
 
+    if not probe.get("ok") and backend == "unknown":
+        # No backend at all (e.g. device tunnel down): every config child
+        # would hang through its full timeout on backend init. Emit the
+        # summary immediately — errors recorded, rc 0 — instead of burning
+        # hours to report the same nothing.
+        print(json.dumps({
+            "metric": "fps_1080p_6m_splats",
+            "value": 0.0,
+            "unit": "fps",
+            "vs_baseline": 0.0,
+            "errors": errors,
+        }), flush=True)
+        return
+
     if backend != "tpu":
         r = _run_child("0", 900, extra=passthrough)
         results.update(r.get("results", {}))
