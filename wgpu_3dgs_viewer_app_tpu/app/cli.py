@@ -76,6 +76,11 @@ def main(argv=None) -> int:
 
     configure()  # $GS_LOG=debug|info|... (env_logger analog)
     ap = argparse.ArgumentParser(prog="3dgs-tpu")
+    ap.add_argument(
+        "--platform", choices=["auto", "cpu", "tpu"], default="auto",
+        help="pin the JAX backend via the config API (JAX_PLATFORMS alone "
+             "is ignored by ambient plugin shims; 'cpu' renders even when "
+             "the TPU runtime is unreachable)")
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     r = sub.add_parser("render", help="offline render a PLY to PNG")
@@ -110,6 +115,10 @@ def main(argv=None) -> int:
     s.set_defaults(fn=cmd_serve)
 
     args = ap.parse_args(argv)
+    if args.platform != "auto":
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
     return args.fn(args)
 
 

@@ -30,6 +30,7 @@ Two implementations with identical math:
 from __future__ import annotations
 
 import functools
+import os as _os
 
 import jax
 import jax.numpy as jnp
@@ -37,6 +38,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .binning import ROW, EntryPlanes, TileConfig
+
+# Bench A/B knob: GS_COMPOSITE_TRANSPOSED=0 falls back to the row-major
+# (pixels-on-sublanes) kernel orientation.
+TRANSPOSED_DEFAULT = _os.environ.get("GS_COMPOSITE_TRANSPOSED", "1") not in ("0", "false")
 
 ALPHA_EPS = 1.0 / 255.0
 T_EPS = 1.0 / 255.0
@@ -764,7 +769,7 @@ def composite_tiles_pallas_v2(
     flat_mode: bool = False,
     interpret: bool = False,
     mxu: bool = False,
-    transposed: bool = True,
+    transposed: bool = TRANSPOSED_DEFAULT,
 ) -> jnp.ndarray:
     """Pallas v2 compositor. Returns (H, W, 4) f32.
 
