@@ -291,3 +291,38 @@ def test_server_state_and_set_compressions():
     assert blob1[:2] == b"\xff\xd8"
     blob2 = vs.frame_jpeg(quality=70, max_age=60.0, scale=0.5)
     assert blob2 == blob1  # served from cache within max_age
+
+
+def test_first_person_look_and_move_events():
+    """The pointer-lock FP path: set_control -> look -> move over /event
+    (ref scene.rs:1278-1326 pointer lock, :1357-1458 FP camera)."""
+    from wgpu_3dgs_viewer_app_tpu.app.server import ViewerServer
+    from wgpu_3dgs_viewer_app_tpu.core.camera import CameraFirstPersonControl
+
+    s = make_session()
+    _, buf = ply_bytes(50, extent=0.5)
+    s.open_model("m.ply", buf)
+    for _ in range(50):
+        s.update()
+        if s.loader is None:
+            break
+    vs = ViewerServer(s)
+
+    vs.handle_event({"type": "set_control", "control": "first_person"})
+    fp = s.camera.control
+    assert isinstance(fp, CameraFirstPersonControl)
+    yaw0, pitch0, pos0 = fp.yaw, fp.pitch, np.array(fp.pos)
+
+    vs.handle_event({"type": "look", "dx": 40.0, "dy": -25.0})
+    fp = s.camera.control
+    assert isinstance(fp, CameraFirstPersonControl)  # stays FP
+    assert fp.yaw != yaw0 and fp.pitch != pitch0
+
+    vs.handle_event({"type": "move", "x": 1.0, "z": 0.5, "dt": 0.1})
+    assert np.linalg.norm(np.array(s.camera.control.pos) - pos0) > 0
+
+    # In orbit mode a look is pose-preserving: position fixed, target moves.
+    vs.handle_event({"type": "set_control", "control": "orbit", "arm": 2.0})
+    orb_pos0 = np.array(s.camera.control.pos)
+    vs.handle_event({"type": "look", "dx": 30.0, "dy": 0.0})
+    assert np.allclose(np.array(s.camera.control.pos), orb_pos0, atol=1e-5)
