@@ -19,7 +19,16 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
+import os
+
 import jax
+
+# Ambient plugin shims ignore the JAX_PLATFORMS env var; mirror it through
+# the config API so `JAX_PLATFORMS=cpu python scripts/bench_sort.py` works
+# even when the TPU runtime is unreachable.
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -40,6 +49,10 @@ def main():
     ap.add_argument("--e", type=int, default=24 * 1024 * 1024)
     ap.add_argument("--frac", type=float, default=0.44)
     ap.add_argument("--lax", action="store_true", help="also time lax.sort")
+    ap.add_argument("--levels", action="store_true",
+                    help="per-merge-level breakdown (t(k) - t(k-1))")
+    ap.add_argument("--interpret", action="store_true",
+                    help="Pallas interpret mode (CPU smoke runs)")
     ap.add_argument("--iters", type=int, default=10)
     args = ap.parse_args()
 
@@ -57,18 +70,33 @@ def main():
     print(f"backend={jax.default_backend()} E={e/1e6:.1f}M "
           f"sentinels={args.frac:.0%}")
 
-    bs = jax.jit(lambda *a: block_sort(*a)[:4])
+    interp = args.interpret
+    bs = jax.jit(lambda *a: block_sort(*a, interpret=interp)[:4])
     t1 = _time(bs, planes, iters=args.iters)
     print(f"phase 1 (block_sort 16K tiles): {t1*1e3:7.2f} ms")
 
-    ms = jax.jit(lambda *a: merge_sort(*a))
+    ms = jax.jit(lambda *a: merge_sort(*a, interpret=interp))
     t2 = _time(ms, planes, iters=args.iters)
     print(f"merge_sort (phase 1 + levels):  {t2*1e3:7.2f} ms "
           f"(levels ~{(t2-t1)*1e3:.2f} ms)")
 
-    msi = jax.jit(lambda *a: merge_sort(*a, interleaved=True))
+    msi = jax.jit(lambda *a: merge_sort(*a, interleaved=True, interpret=interp))
     t3 = _time(msi, planes, iters=args.iters)
     print(f"merge_sort interleaved:         {t3*1e3:7.2f} ms")
+
+    if args.levels:
+        # Per-level cost by difference: t(max_levels=k) - t(max_levels=k-1).
+        # Levels shrink as live compaction trims sentinel rows, so early
+        # levels dominate; this attributes the merge total to each.
+        import math
+        nlevels = math.ceil(math.log2(max(2, e // BLOCK)))
+        prev = t1
+        for lv in range(1, nlevels + 1):
+            fn = jax.jit(lambda *a, lv=lv: merge_sort(*a, max_levels=lv, interpret=interp))
+            t = _time(fn, planes, iters=args.iters)
+            print(f"  level {lv:2d}: {(t - prev)*1e3:7.2f} ms "
+                  f"(cum {t*1e3:7.2f})")
+            prev = t
 
     if args.lax:
         lx = jax.jit(

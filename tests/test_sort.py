@@ -99,6 +99,23 @@ def test_merge_sort_interpret(e, frac, span):
     _check(k, p1, p2, p3, *outs)
 
 
+def test_merge_sort_max_levels_truncation():
+    """max_levels (bench instrumentation) runs a PREFIX of the level loop:
+    after 1 of the 2 levels at 4 blocks, run 0 = blocks 0+1 merged; the
+    post-loop sentinel restore keeps only run 0, so its live prefix must be
+    the sorted union of blocks 0-1's live keys."""
+    e = 4 * BLOCK
+    k, p1, p2, p3 = _mk(e, 0.4, 1 << 24)
+    ks = np.asarray(
+        merge_sort(*(jnp.asarray(a) for a in (k, p1, p2, p3)),
+                   interpret=True, max_levels=1)[0]
+    ).ravel()
+    first_pair = k[: 2 * BLOCK]
+    live = np.sort(first_pair[first_pair != SENT])
+    assert np.array_equal(ks[: live.shape[0]], live)
+    assert np.all(ks[live.shape[0]:] == SENT)
+
+
 def test_merge_sort_all_sentinel():
     e = 4 * BLOCK
     k = np.full(e, SENT, np.uint32)

@@ -736,9 +736,10 @@ def merge_presorted(ks, s1, s2, s3, interpret: bool = False,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "interleaved"))
+@functools.partial(jax.jit, static_argnames=("interpret", "interleaved",
+                                              "max_levels"))
 def merge_sort(keys, p1, p2, p3, interpret: bool = False,
-               interleaved: bool = False):
+               interleaved: bool = False, max_levels: int | None = None):
     """Full sort of (keys + 3 payload planes), ascending by key — the
     drop-in replacement for `lax.sort((k, p1, p2, p3), num_keys=1)` on the
     entry planes, returning arrays LONGER than the input (the merge levels
@@ -758,12 +759,16 @@ def merge_sort(keys, p1, p2, p3, interpret: bool = False,
         return jax.lax.sort((keys, p1, p2, p3), num_keys=1, is_stable=False)
     ks, s1, s2, s3, counts = block_sort(keys, p1, p2, p3, interpret=interpret)
     return _merge_phase([ks, s1, s2, s3], counts, interpret=interpret,
-                        interleaved=interleaved)
+                        interleaved=interleaved, max_levels=max_levels)
 
 
 def _merge_phase(planes, counts, interpret: bool = False,
-                 interleaved: bool = False):
-    """Merge-path levels over block-sorted (rows, LANES) planes."""
+                 interleaved: bool = False, max_levels: int | None = None):
+    """Merge-path levels over block-sorted (rows, LANES) planes.
+
+    `max_levels` truncates the level loop (benchmark instrumentation:
+    per-level device time = t(k) - t(k-1)); the truncated result is NOT a
+    full sort — only scripts/bench_sort.py uses it."""
     rows_total = planes[0].shape[0]
     e = rows_total * LANES
     nblocks = e // BLOCK
@@ -779,7 +784,11 @@ def _merge_phase(planes, counts, interpret: bool = False,
     # rounding slack per merge is absorbed by the ceil) — bounds the split
     # search depth.
     run_cap = BLOCK
+    level = 0
     while nruns > 1:
+        if max_levels is not None and level >= max_levels:
+            break
+        level += 1
         npairs = -(-nruns // 2)
         # Static worst-case cells: all rows live (+ <=1 slack row per pair)
         # plus one minimum chunk per pair.
