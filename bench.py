@@ -300,15 +300,28 @@ def bench_config0(results, iters=10):
 
 def bench_config1(results, n=6_000_000, breakdown=False):
     """BASELINE config 1 (the headline): ~6M splats, 1080p, SH3, splat mode
-    (ellipse flat mode is cheaper; splat mode is the honest headline)."""
+    (ellipse flat mode is cheaper; splat mode is the honest headline).
+
+    Headline knobs == the PRODUCT DEFAULT (tile=32, max_dup=4; viewer.py) —
+    dup=4's truncation bound vs dup=16 is measured at mean 5.0e-2 /
+    p99.9 0.55 (tests/test_image_tpu.py). A second row benches the dup=8
+    quality preset (2.6e-2 / 0.40) so both published configs are honest."""
     use_pallas = jax.default_backend() == "tpu"
     comp, pod, view, proj, cfg = build(n, 1920, 1088, 3, 0)
     step = frame_fn(comp, cfg, 3, 0, use_pallas)
     dt = time_frames(step, (pod, view, proj), iters=10)
     results["config1_6m_1080p_fps"] = 1.0 / dt
-    log(f"config1 ({n} splat 1080p SH3): {dt*1000:.2f} ms = {1/dt:.1f} fps")
+    log(f"config1 ({n} splat 1080p SH3, tile=32 dup=4 default): "
+        f"{dt*1000:.2f} ms = {1/dt:.1f} fps")
     if breakdown:
         bench_breakdown(comp, pod, view, proj, cfg)
+        return
+    if use_pallas:
+        comp, pod, view, proj, cfg8 = build(n, 1920, 1088, 3, 0, max_dup=8)
+        step8 = frame_fn(comp, cfg8, 3, 0, use_pallas)
+        dt8 = time_frames(step8, (pod, view, proj), iters=8)
+        results["config1_quality_dup8_fps"] = 1.0 / dt8
+        log(f"config1 quality preset (dup=8): {dt8*1000:.2f} ms = {1/dt8:.1f} fps")
 
 
 CONFIG_FNS = {
@@ -371,17 +384,41 @@ def _run_child(config, timeout, extra=(), retries=1):
     return last
 
 
+def _probe_with_backoff(passthrough):
+    """Probe the device with retries SPREAD over a window instead of two
+    back-to-back 600 s attempts (round-2 postmortem: the tunnel was down at
+    capture time and returned later — a spread capture would have caught
+    it). Sleep schedule between attempts: 60, 120, 300, 600, 900 s
+    (~35 min window); override the attempt timeout / schedule via
+    GS_BENCH_PROBE_TIMEOUT / GS_BENCH_PROBE_SLEEPS (comma ints)."""
+    timeout = int(os.environ.get("GS_BENCH_PROBE_TIMEOUT", "600"))
+    sleeps_env = os.environ.get("GS_BENCH_PROBE_SLEEPS", "60,120,300,600,900")
+    sleeps = [int(s) for s in sleeps_env.split(",") if s.strip()]
+    probe = _run_child("probe", timeout, extra=passthrough, retries=0)
+    for i, s in enumerate(sleeps):
+        if probe.get("ok"):
+            return probe
+        log(f"probe attempt {i + 1} failed ({probe.get('error')}); "
+            f"retrying in {s}s")
+        time.sleep(s)
+        probe = _run_child("probe", timeout, extra=passthrough, retries=0)
+    return probe
+
+
 def orchestrate(args):
     """Parent mode: never touches the device. Runs each config in a child
     with a timeout + one fresh-process retry, then ALWAYS prints the
-    summary line (failures become per-config error fields)."""
+    summary line (failures become per-config error fields). The probe
+    retries with backoff across the bench window, and any configs that
+    failed get ONE more fresh attempt at the end of the window if a final
+    re-probe shows the device came back."""
     results = {}
     errors = {}
     passthrough = []
     if args.inject_fail:
         passthrough += ["--inject-fail", args.inject_fail]
 
-    probe = _run_child("probe", 600, extra=passthrough)
+    probe = _probe_with_backoff(passthrough)
     backend = probe.get("backend", "unknown")
     log(f"probe: backend={backend} ok={probe.get('ok')}")
     if not probe.get("ok"):
@@ -424,17 +461,33 @@ def orchestrate(args):
         plan = [("1", 1800)]
     elif not args.headline_only:
         plan += [("2", 1500), ("3", 1500), ("4", 1500)]
-    for config, timeout in plan:
-        extra = list(passthrough)
-        if config == "1":
-            if args.splats:
-                extra += ["--splats", str(args.splats)]
-            if args.breakdown:
-                extra += ["--breakdown"]
-        r = _run_child(config, timeout, extra=extra)
-        results.update(r.get("results", {}))
-        if not r.get("ok"):
-            errors[f"config{config}"] = r.get("error", "?")
+
+    def run_plan(plan_items):
+        failed = []
+        for config, timeout in plan_items:
+            extra = list(passthrough)
+            if config == "1":
+                if args.splats:
+                    extra += ["--splats", str(args.splats)]
+                if args.breakdown:
+                    extra += ["--breakdown"]
+            r = _run_child(config, timeout, extra=extra)
+            results.update(r.get("results", {}))
+            if not r.get("ok"):
+                errors[f"config{config}"] = r.get("error", "?")
+                failed.append((config, timeout))
+            else:
+                errors.pop(f"config{config}", None)
+        return failed
+
+    failed = run_plan(plan)
+    if failed:
+        # End-of-window recovery: if the device is back, the failures were
+        # transient (tunnel blip) — rerun just those configs once.
+        log(f"{len(failed)} config(s) failed; re-probing before final retry")
+        reprobe = _run_child("probe", 600, extra=passthrough, retries=0)
+        if reprobe.get("ok"):
+            run_plan(failed)
 
     fps = results.get("config1_6m_1080p_fps", 0.0)
     summary = {

@@ -1,0 +1,82 @@
+"""Golden-image fixture: the standing fidelity artifact for CI.
+
+Renders a DETERMINISTIC scene (seeded Inria-like statistics — near-camera
+ground discs, structure band, background shell; data/synthetic.py) from a
+fixed camera through the real CLI path (PLY on disk -> read_ply -> Viewer
+-> PNG) and compares/updates the committed golden PNG.
+
+The committed artifact pins the whole image-formation chain — compression
+round-trip, preprocess, tile binning, sort, OIT composite — so any drift
+(kernel rewrite, constant change, enumeration-order bug) fails CI instead
+of passing silently. This is the repo-local anchor for the north star
+"pixel-comparable rendering" (BASELINE.json render contract; reference
+draw order `src/tab/scene.rs:2306-2313`).
+
+Usage:
+  python scripts/gen_golden.py --update   # regenerate tests/golden/*.png
+  python scripts/gen_golden.py            # render to /tmp and diff
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+GOLDEN = os.path.join(REPO, "tests", "golden", "golden_256.png")
+
+# Fixture knobs: small enough for CI seconds, big enough to exercise depth
+# layering, anisotropy, SH tilt, and multi-tile splats. max_dup=16 keeps
+# the fixture truncation-free (exact for the scene's splat radii).
+N, W, H, SEED, ORBIT = 20_000, 256, 256, 7, 30.0
+
+
+def render_golden(out_png: str) -> None:
+    sys.path.insert(0, REPO)
+    from wgpu_3dgs_viewer_app_tpu.app.cli import main
+    from wgpu_3dgs_viewer_app_tpu.data import make_inria_like_scene, write_ply
+
+    g = make_inria_like_scene(N, seed=SEED)
+    with tempfile.NamedTemporaryFile(suffix=".ply", delete=False) as f:
+        write_ply(f, g)
+        ply_path = f.name
+    try:
+        rc = main([
+            "--platform", "cpu", "render", ply_path, "-o", out_png,
+            "--width", str(W), "--height", str(H),
+            "--max-dup", "16", "--orbit", str(ORBIT),
+        ])
+        assert rc == 0
+    finally:
+        os.unlink(ply_path)
+
+
+def load_png(path: str) -> np.ndarray:
+    from PIL import Image
+
+    return np.asarray(Image.open(path), np.int16)
+
+
+def main_cli(argv=None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    if "--update" in argv:
+        os.makedirs(os.path.dirname(GOLDEN), exist_ok=True)
+        render_golden(GOLDEN)
+        print(f"wrote {GOLDEN}")
+        return 0
+    with tempfile.NamedTemporaryFile(suffix=".png", delete=False) as f:
+        out = f.name
+    try:
+        render_golden(out)
+        d = np.abs(load_png(out) - load_png(GOLDEN))
+        print(f"golden diff: mean {d.mean():.3f} u8, max {d.max()} u8")
+        return 0 if (d.mean() < 1.0 and d.max() <= 48) else 1
+    finally:
+        os.unlink(out)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main_cli())

@@ -173,6 +173,52 @@ def test_export_single_and_zip():
         assert set(zf.namelist()) == {"a.ply", "b.ply"}
 
 
+def test_server_export_choices_and_off_lock():
+    """POST /export body path (the browser modal, ref src/app.rs:659-894):
+    per-model choices select which models ship, and serialization runs
+    OUTSIDE the session lock so /state stays responsive during big exports."""
+    import zipfile
+
+    from wgpu_3dgs_viewer_app_tpu.app import export as export_mod
+    from wgpu_3dgs_viewer_app_tpu.app.server import ViewerServer
+
+    s = make_session()
+    for name, n in (("a.ply", 40), ("b.ply", 30)):
+        _, buf = ply_bytes(n, seed=n)
+        s.open_model(name, buf)
+        while s.loader is not None:
+            s._drain_loader()
+    vs = ViewerServer(s)
+
+    lock_free_during_write = []
+    real_write_ply = export_mod.write_ply
+
+    def probing_write_ply(*a, **kw):
+        ok = vs.lock.acquire(blocking=False)
+        if ok:
+            vs.lock.release()
+        lock_free_during_write.append(ok)
+        return real_write_ply(*a, **kw)
+
+    export_mod.write_ply = probing_write_ply
+    try:
+        blob, fname, ctype = vs.export_bytes(
+            {"a.ply": {"export": True, "with_edit": False},
+             "b.ply": {"export": False}}
+        )
+    finally:
+        export_mod.write_ply = real_write_ply
+    assert fname == "a.ply" and ctype == "application/octet-stream"
+    assert read_ply(io.BytesIO(blob)).count == 40
+    assert lock_free_during_write and all(lock_free_during_write)
+
+    # Both selected -> zip with both members.
+    blob, fname, _ = vs.export_bytes(None)
+    assert fname == "models.zip"
+    with zipfile.ZipFile(io.BytesIO(blob)) as zf:
+        assert set(zf.namelist()) == {"a.ply", "b.ply"}
+
+
 def test_export_with_mask_filter():
     s = make_session()
     g, buf = ply_bytes(60)

@@ -100,12 +100,25 @@ def test_sharded_capacity_overflow_degrades_not_crashes():
     comp, pod, view, proj, cfg = setup(n=768)
     mesh = make_mesh(jax.devices()[:2])
     pod_sharded = shard_pod(pod, mesh)
-    img = np.asarray(
-        render_sharded(pod_sharded, mesh, comp, cfg, view, proj, sh_degree=0,
-                       use_pallas=False, capacity_factor=0.05)
-    )
+    img, stats = render_sharded(pod_sharded, mesh, comp, cfg, view, proj,
+                                sh_degree=0, use_pallas=False,
+                                capacity_factor=0.05, return_stats=True)
+    img = np.asarray(img)
     assert img.shape == (cfg.height, cfg.width, 3)
     assert np.isfinite(img).all()
+    # The whole point of the undersized buffer: the clamp's losses are
+    # OBSERVABLE, not silent (advisor r2 medium).
+    assert stats["overflow"] > 0
+
+
+def test_sharded_overflow_counter_zero_at_default_capacity():
+    comp, pod, view, proj, cfg = setup(n=768)
+    mesh = make_mesh(jax.devices()[:4])
+    pod_sharded = shard_pod(pod, mesh)
+    img, stats = render_sharded(pod_sharded, mesh, comp, cfg, view, proj,
+                                sh_degree=0, use_pallas=False,
+                                return_stats=True)
+    assert stats["overflow"] == 0
 
 
 def test_sharded_multi_model_matches_single_device_merged():
@@ -139,10 +152,12 @@ def test_sharded_multi_model_matches_single_device_merged():
 
     mesh = make_mesh(jax.devices()[:4])
     pods = (shard_pod(pod_a, mesh), shard_pod(pod_b, mesh))
-    img = np.asarray(render_frame_sharded_multi(
+    img, overflow = render_frame_sharded_multi(
         pods, mesh, "splats", comp, cfg, view, proj, models, ranks,
         jnp.zeros(3, jnp.float32), sh_degree=3, use_pallas=False,
         ragged=False,
-    ))[: cfg.height]
+    )
+    img = np.asarray(img)[: cfg.height]
+    assert int(np.asarray(overflow).max()) == 0
     assert np.abs(img - ref).mean() < 1e-3
     assert np.abs(img - ref).max() < 0.05

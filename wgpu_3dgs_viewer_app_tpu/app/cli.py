@@ -97,8 +97,9 @@ def main(argv=None) -> int:
     r.add_argument("--sh-comp", default="norm8", choices=["single", "half", "norm8", "remove"])
     r.add_argument("--cov3d-comp", default="half", choices=["single", "half"])
     r.add_argument("--tile", type=int, default=32, help="screen tile size (px)")
-    r.add_argument("--max-dup", type=int, default=8,
-                   help="tile entries per splat (quality/speed; 4=bench, 16=exact for huge splats)")
+    r.add_argument("--max-dup", type=int, default=4,
+                   help="tile entries per splat (4=product default, bounded truncation on "
+                        "splats spanning >2x2 tiles; 8/16=quality presets)")
     r.set_defaults(fn=cmd_render)
 
     s = sub.add_parser("serve", help="interactive web viewer")
@@ -110,8 +111,9 @@ def main(argv=None) -> int:
     s.add_argument("--sh-comp", default="norm8", choices=["single", "half", "norm8", "remove"])
     s.add_argument("--cov3d-comp", default="half", choices=["single", "half"])
     s.add_argument("--tile", type=int, default=32, help="screen tile size (px)")
-    s.add_argument("--max-dup", type=int, default=8,
-                   help="tile entries per splat (quality/speed; 4=bench, 16=exact for huge splats)")
+    s.add_argument("--max-dup", type=int, default=4,
+                   help="tile entries per splat (4=product default, bounded truncation on "
+                        "splats spanning >2x2 tiles; 8/16=quality presets)")
     s.set_defaults(fn=cmd_serve)
 
     args = ap.parse_args(argv)

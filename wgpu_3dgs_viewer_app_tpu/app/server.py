@@ -37,7 +37,7 @@ from ..mask.shapes import MaskShape, MaskShapeKind
 from ..query.pods import QuerySelectionOp
 from ..query.selection import QueryToolset
 from ..utils.format import human_readable_size
-from .export import ExportChoice, export_models
+from .export import ExportChoice, serialize_exports, snapshot_exports
 from .state import (
     Action,
     GaussianSplattingSession,
@@ -456,6 +456,10 @@ class ViewerServer:
                 return {"ok": False, "error": str(e)}
 
     def export_bytes(self, choices: dict | None = None) -> tuple:
+        # Snapshot under the lock (cheap buffer downloads), serialize the
+        # potentially-hundreds-of-MB PLY/ZIP OUTSIDE it so /state, /set and
+        # events stay responsive during a 6M-splat export (same fix class
+        # as _frame_gate).
         with self.lock:
             s = self.session
             ch = None
@@ -468,14 +472,15 @@ class ViewerServer:
                     )
                     for k, c in choices.items()
                 }
-            buf = io.BytesIO()
-            names = export_models(s.viewer, buf, ch)
-            multi = len(names) > 1
-            fname = "models.zip" if multi else (names[0] if names else "model.ply")
-            if not fname.endswith((".ply", ".zip")):
-                fname += ".ply"
-            ctype = "application/zip" if multi else "application/octet-stream"
-            return buf.getvalue(), fname, ctype
+            snap = snapshot_exports(s.viewer, ch)
+        buf = io.BytesIO()
+        names = serialize_exports(snap, buf)
+        multi = len(names) > 1
+        fname = "models.zip" if multi else (names[0] if names else "model.ply")
+        if not fname.endswith((".ply", ".zip")):
+            fname += ".ply"
+        ctype = "application/zip" if multi else "application/octet-stream"
+        return buf.getvalue(), fname, ctype
 
 
 def make_handler(server: ViewerServer):

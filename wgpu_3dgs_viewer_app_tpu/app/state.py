@@ -180,14 +180,14 @@ class GaussianSplattingSession:
         compressions: Compressions = Compressions(),
         use_pallas: Optional[bool] = None,
         tile: int = 32,
-        max_dup: int = 8,
+        max_dup: int = 4,
     ):
         self.camera = Camera.default()
         self.compressions = compressions
-        # Interactive default (32, 8): the bench's tile size, with a dup
-        # budget exact for splat radii up to ~1 tile; the headline bench
-        # runs max_dup=4, whose truncation error is bounded by
-        # tests/test_image_tpu.py::test_max_dup_truncation_bound_at_bench_scale.
+        # Product default (32, 4) == the headline bench config; the dup=4
+        # truncation error bound is measured in tests/test_image_tpu.py::
+        # test_max_dup_truncation_bound_at_bench_scale (mean 5.0e-2,
+        # p99.9 0.55 vs dup=16). --max-dup 8/16 are the quality presets.
         self.viewer = MultiModelViewer(width, height, comp=compressions,
                                        use_pallas=use_pallas, tile=tile,
                                        max_dup=max_dup)

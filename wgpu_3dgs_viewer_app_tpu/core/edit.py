@@ -133,6 +133,83 @@ def apply_edit(
     return rgb_out, op_out, hidden
 
 
+def apply_edit_components(
+    r, g, b, opacity, flags, er, eg, eb, e_contrast, e_exposure, e_gamma, e_alpha
+):
+    """Component-form `apply_edit` for Pallas kernels (ops/fused.py).
+
+    All operands are broadcast-compatible 2D tiles — no stacked (N, 3)
+    arrays (which materialize lane-padded on TPU) and no ops without a
+    Mosaic lowering: f32 remainder is open-coded via floor, and power runs
+    as exp2(g * log2(x)). Returns (r', g', b', opacity', hidden_mask);
+    math mirrors `apply_edit` (identical to ~1 ulp — payload colors
+    quantize to u8 downstream, so the paths agree bit-exactly there).
+    """
+    enabled = (flags & EDIT_FLAG_ENABLED) != 0
+    hidden = enabled & ((flags & EDIT_FLAG_HIDDEN) != 0)
+    override = (flags & EDIT_FLAG_OVERRIDE_COLOR) != 0
+
+    rc = jnp.clip(r, 0.0, 1.0)
+    gc = jnp.clip(g, 0.0, 1.0)
+    bc = jnp.clip(b, 0.0, 1.0)
+    # --- rgb -> hsv (component form of rgb_to_hsv) ---
+    maxc = jnp.maximum(jnp.maximum(rc, gc), bc)
+    minc = jnp.minimum(jnp.minimum(rc, gc), bc)
+    v = maxc
+    delta = maxc - minc
+    s = jnp.where(maxc > 0, delta / jnp.maximum(maxc, 1e-12), 0.0)
+    sd = jnp.maximum(delta, 1e-12)
+    hr = (gc - bc) / sd
+    hr = hr - 6.0 * jnp.floor(hr * (1.0 / 6.0))  # % 6.0
+    hg = (bc - rc) / sd + 2.0
+    hb = (rc - gc) / sd + 4.0
+    h = jnp.where(maxc == rc, hr, jnp.where(maxc == gc, hg, hb)) * (1.0 / 6.0)
+    h = jnp.where(delta > 0, h, 0.0)
+    # --- adjust: hue shift, sat/val scale ---
+    h = h + er
+    s = s * eg
+    v = v * eb
+    # --- hsv -> rgb ---
+    h = h - jnp.floor(h)  # % 1.0
+    h6 = h * 6.0
+    i = jnp.floor(h6)
+    f = h6 - i
+    p = v * (1.0 - s)
+    q = v * (1.0 - s * f)
+    t = v * (1.0 - s * (1.0 - f))
+    ii = i.astype(jnp.int32) % 6
+
+    def sel6(a0, a1, a2, a3, a4, a5):
+        return jnp.where(
+            ii == 0, a0, jnp.where(ii == 1, a1, jnp.where(
+                ii == 2, a2, jnp.where(ii == 3, a3, jnp.where(ii == 4, a4, a5))))
+        )
+
+    rh = sel6(v, q, p, p, t, v)
+    gh = sel6(t, v, v, q, p, p)
+    bh = sel6(p, p, t, v, v, q)
+    ro = jnp.where(override, er, rh)
+    go = jnp.where(override, eg, gh)
+    bo = jnp.where(override, eb, bh)
+
+    gam = jnp.maximum(e_gamma, 1e-6)
+
+    def tone(x):
+        x = (x - 0.5) * (1.0 + e_contrast) + 0.5
+        x = jnp.clip(x * jnp.exp2(e_exposure), 0.0, 1.0)
+        # x^gam with x in [0, 1]: exp2(gam * log2 x), 0 stays 0.
+        return jnp.where(
+            x > 0.0, jnp.exp2(gam * jnp.log2(jnp.maximum(x, 1e-30))), 0.0
+        )
+
+    ro, go, bo = tone(ro), tone(go), tone(bo)
+    r_out = jnp.where(enabled, ro, r)
+    g_out = jnp.where(enabled, go, g)
+    b_out = jnp.where(enabled, bo, b)
+    op_out = jnp.where(enabled, opacity * e_alpha, opacity)
+    return r_out, g_out, b_out, op_out, hidden
+
+
 @dataclasses.dataclass(frozen=True)
 class SelectionHighlightPod:
     """Highlight color rgba. Ref `SelectionHighlightPod` (`src/app.rs:824-828`)."""

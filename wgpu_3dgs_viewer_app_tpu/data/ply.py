@@ -193,7 +193,7 @@ def _read_ascii_chunks(reader, header: PlyHeader, chunk_size: int,
 
     def flush():
         arr = np.asarray(rows, np.float32)
-        rec = np.core.records.fromarrays(
+        rec = np.rec.fromarrays(
             [arr[:, i] for i in range(nf)], names=names, formats=["<f4"] * nf
         )
         return _yield_pods(_records_to_pods(rec), stats)

@@ -28,6 +28,12 @@ import jax.numpy as jnp
 
 from .preprocess import PreprocessOut
 
+# Peak splat opacity (ref 3DGS rasterizer convention). The enumeration key
+# clamps its alpha byte to ALPHA_U8_MAX so the compositor needs no per-pixel
+# clamp — composite.py imports BOTH constants from here so they can't desync.
+ALPHA_MAX = 0.99
+ALPHA_U8_MAX = int(ALPHA_MAX * 255)  # 252
+
 
 @dataclasses.dataclass(frozen=True)
 class TileConfig:
@@ -142,11 +148,11 @@ def depth_alpha_key_lo(depth, alpha, cfg: "TileConfig", model_rank=None) -> jnp.
         .astype(jnp.int32)
         .astype(jnp.uint32)
     )
-    # Clamp to ALPHA_MAX (0.99, ref 3DGS rasterizer convention) here — 252
-    # = floor(0.99 * 255) — so the compositor needs no per-pixel clamp
-    # (ops/composite._alpha_from_power).
+    # Clamp to ALPHA_U8_MAX = floor(ALPHA_MAX * 255) here so the compositor
+    # needs no per-pixel clamp (ops/composite._alpha_from_power).
     alpha_u8 = (
-        jnp.clip(alpha * 255.0 + 0.5, 0.0, 252.0).astype(jnp.int32).astype(jnp.uint32)
+        jnp.clip(alpha * 255.0 + 0.5, 0.0, float(ALPHA_U8_MAX))
+        .astype(jnp.int32).astype(jnp.uint32)
     )
     lo = (dkey << jnp.uint32(cfg.ALPHA_BITS)) | alpha_u8
     if cfg.model_bits:

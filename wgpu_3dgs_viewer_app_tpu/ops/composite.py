@@ -37,7 +37,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .binning import ROW, EntryPlanes, TileConfig
+from .binning import ALPHA_MAX, ROW, EntryPlanes, TileConfig
 
 # Bench A/B knob: GS_COMPOSITE_TRANSPOSED=0 falls back to the row-major
 # (pixels-on-sublanes) kernel orientation.
@@ -45,7 +45,8 @@ TRANSPOSED_DEFAULT = _os.environ.get("GS_COMPOSITE_TRANSPOSED", "1") not in ("0"
 
 ALPHA_EPS = 1.0 / 255.0
 T_EPS = 1.0 / 255.0
-ALPHA_MAX = 0.99
+# ALPHA_MAX is imported from binning (single source of truth with the
+# enumeration key's u8 alpha clamp).
 FLAT_POWER_CUTOFF = -2.0  # ellipse/point: flat fill inside 2-sigma boundary
 
 

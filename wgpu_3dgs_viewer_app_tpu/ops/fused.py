@@ -11,10 +11,16 @@ One kernel performs, per splat block, everything the crate's WGSL
 replacing the XLA preprocess (~22 ms of fragmented small fusions at 6M
 splats) and the separate enumeration kernel with a single pass over the pod
 (BASELINE.md north star: "the WGSL preprocess pass becomes one fused Pallas
-kernel"). The gated paths (per-splat edits, selection edits/highlight, mask
-bits, traced `size`) still run through ops/preprocess.py + ops/binning.py —
-editing UIs tolerate milliseconds; the plain orbit/fly render path is the
-hot loop.
+kernel").
+
+Gated paths run through the SAME kernel (round-2 verdict next #6): mask
+bits and selection bits ride one packed u32 plane (bit 0 = mask,
+bit 1 = selected), per-splat edits ride a u32 flags plane + a (7, Rb, 128)
+value block, and the scene-wide selection edit / highlight constants ride
+the SMEM params vector — so the interactive editing workloads (BASELINE
+configs 3/4) pay the same front-end as the plain orbit path instead of
+falling back to the XLA preprocess. Only a traced `size` (display modes
+reading it per-splat) still uses ops/preprocess.py + ops/binning.py.
 
 The kernel reads the TPU row pod layout (data/compression.py) natively:
 every field block is (k, Rb, 128) full tiles.
@@ -58,6 +64,14 @@ ROWS_PER_BLOCK = 128  # 16k splats per grid step; 256 rows OOMs the 16 MB VMEM
 # + 9 (view 3x3) + 3 (view t) + 8 (intrinsics) + 3 (cam) + 2 (z range) = 37
 # elements precede it.
 MODEL_RANK_SLOT = 37
+# Gated-path constants (scene-wide selection edit + highlight) follow:
+# 38 = selection-edit flags, 39-41 = its rgb/hsv, 42-45 = its params
+# (contrast, exposure, gamma, alpha), 46-49 = highlight rgba.
+SEL_FLAGS_SLOT = 38
+SEL_RGB_SLOT = 39
+SEL_PARAMS_SLOT = 42
+HIGHLIGHT_SLOT = 46
+PARAMS_LEN = 52
 
 # Presort (fused phase-1 block sort) VMEM budget: the in-kernel bitonic
 # sort's live temporaries scale with rb*d rows x 4 planes; 512 rows

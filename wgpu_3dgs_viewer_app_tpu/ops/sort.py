@@ -59,6 +59,11 @@ SENTINEL = 0xFFFFFFFF  # python int: jnp scalars cannot be captured by kernels
 import os as _os  # noqa: E402
 
 BLOCK_ROWS = int(_os.environ.get("GS_SORT_BLOCK_ROWS", "128"))
+# A non-power-of-two block makes the bitonic network incomplete (silently
+# WRONG output); fail loudly at import instead (advisor r2).
+assert BLOCK_ROWS >= 8 and (BLOCK_ROWS & (BLOCK_ROWS - 1)) == 0, (
+    f"GS_SORT_BLOCK_ROWS must be a power of two >= 8, got {BLOCK_ROWS}"
+)
 BLOCK = BLOCK_ROWS * LANES
 
 
@@ -363,6 +368,9 @@ def block_sort(keys, p1, p2, p3, interpret: bool = False):
 # ---------------------------------------------------------------------------
 
 CHUNK_ROWS = int(_os.environ.get("GS_MERGE_CHUNK_ROWS", "256"))  # bench A/B knob
+assert CHUNK_ROWS >= 8 and (CHUNK_ROWS & (CHUNK_ROWS - 1)) == 0, (
+    f"GS_MERGE_CHUNK_ROWS must be a power of two >= 8, got {CHUNK_ROWS}"
+)
 CHUNK = CHUNK_ROWS * LANES  # entries per merge grid cell
 _NR = CHUNK_ROWS + 8  # piece DMA rows: +1 for unaligned pieces, 8-aligned
 # meta columns

@@ -106,8 +106,12 @@ def _route_entries(planes, axis: str, n_dev: int, boundaries, e_cap: int,
     boundaries: (n_dev,) u32 — first key of each slab (slab o owns keys in
     [boundaries[o], boundaries[o+1]), the last implicitly ending before the
     sentinel bucket).
-    Returns (E_cap, 4) u32 on each device: that device's slab entries as
-    n_dev concatenated sorted runs, sentinel-filled beyond the live total.
+    Returns (routed, dropped): routed is (E_cap, 4) u32 on each device —
+    that device's slab entries as n_dev concatenated sorted runs,
+    sentinel-filled beyond the live total. dropped is a replicated i32
+    scalar: the GLOBAL number of live entries truncated by the static
+    capacity clamp this frame (0 in normal operation; >0 means the scene
+    skew exceeded capacity_factor and splats are missing — raise it).
 
     Transports (`ragged`):
     - True (TPU): one tiny all_gather of the (n_dev,) send-size rows plus
@@ -126,7 +130,9 @@ def _route_entries(planes, axis: str, n_dev: int, boundaries, e_cap: int,
     send = ends - starts  # (n_dev,) live entries bound for each owner
 
     if not ragged:
-        cap_pair = -(-e_cap // n_dev)
+        # Rounded UP to a 128 multiple so routed rows always reshape to
+        # (rows, 128) even for non-power-of-two device counts (advisor r2).
+        cap_pair = -(-e_cap // (n_dev * 128)) * 128
         e_local = planes.shape[0]
         # Pad so a dynamic_slice starting at any live offset stays in range.
         planes_p = jnp.concatenate(
@@ -143,7 +149,10 @@ def _route_entries(planes, axis: str, n_dev: int, boundaries, e_cap: int,
             runs.append(jnp.where(idx < send[j], run, jnp.uint32(SENTINEL)))
         stacked = jnp.stack(runs, axis=0)  # (n_dev, cap_pair, 4)
         routed = jax.lax.all_to_all(stacked, axis, 0, 0, tiled=False)
-        return routed.reshape(-1, planes.shape[1])
+        dropped = jax.lax.psum(
+            jnp.sum(jnp.maximum(send - cap_pair, 0)), axis
+        )
+        return routed.reshape(-1, planes.shape[1]), dropped
 
     # Full (n_dev, n_dev) send matrix S[i, j]: tiny, exchanged over ICI.
     s_mat = jax.lax.all_gather(send, axis)  # (n_dev src, n_dev dst)
@@ -161,8 +170,13 @@ def _route_entries(planes, axis: str, n_dev: int, boundaries, e_cap: int,
     recv_c = jnp.minimum(
         col, jnp.maximum(e_cap - jnp.minimum(recv_off_me, e_cap), 0)
     )
+    # Global overflow: s_mat is replicated post-gather, so every device can
+    # count ALL pairs' clamp losses without another collective.
+    off_c_all = jnp.minimum(recv_offsets_all, e_cap)
+    sz_c_all = jnp.minimum(s_mat, e_cap - off_c_all)
+    dropped = jnp.sum(s_mat - sz_c_all)
     out_buf = jnp.full((e_cap, planes.shape[1]), SENTINEL, jnp.uint32)
-    return jax.lax.ragged_all_to_all(
+    routed = jax.lax.ragged_all_to_all(
         planes,
         out_buf,
         input_offsets=starts,
@@ -171,6 +185,7 @@ def _route_entries(planes, axis: str, n_dev: int, boundaries, e_cap: int,
         recv_sizes=recv_c,
         axis_name=axis,
     )
+    return routed, dropped
 
 
 def _slab_entries(routed, cfg: TileConfig, slab_cfg: TileConfig,
@@ -228,12 +243,16 @@ def render_frame_sharded(
     capacity_factor: float = 2.0,
     ragged: bool = True,
 ):
-    """Sharded frame -> (padded_H, W, 3); rows beyond cfg.height are blank.
+    """Sharded frame -> ((padded_H, W, 3), (n_dev,) overflow); image rows
+    beyond cfg.height are blank.
 
     `capacity_factor` sizes each owner's static receive buffer as
     factor x E_local (mean load is E_live/n_dev; 2x mean absorbs realistic
     slab skew; overflow drops later sources' farthest entries
-    deterministically)."""
+    deterministically). The overflow output counts the GLOBAL live entries
+    truncated by that clamp this frame (replicated — every element equal);
+    nonzero means splats are missing from the image and capacity_factor
+    should be raised."""
     n_dev = mesh.shape[axis]
     slab_cfg, slab_h, padded_h = slab_config(cfg, n_dev)
     rows_per_slab = slab_cfg.tiles_y
@@ -245,7 +264,7 @@ def render_frame_sharded(
             {k: _pod_spec(v, axis) for k, v in pod.items()},
             P(), P(), P(), P(),
         ),
-        out_specs=P(axis),
+        out_specs=(P(axis), P(axis)),
         check_vma=False,
     )
     def step(pod_local, view_, proj_, model_, bg_):
@@ -276,8 +295,8 @@ def render_frame_sharded(
             jnp.uint32(cfg.n_tiles),
         ) << jnp.uint32(cfg._tile_shift)
         e_cap = -(-int(capacity_factor * keys.shape[0]) // 128) * 128
-        routed = _route_entries(planes, axis, n_dev, boundaries, e_cap,
-                                ragged)
+        routed, dropped = _route_entries(planes, axis, n_dev, boundaries,
+                                         e_cap, ragged)
 
         # 4) owner-side merge + per-tile ranges + slab composite.
         did = jax.lax.axis_index(axis)
@@ -288,7 +307,7 @@ def render_frame_sharded(
             img = composite_tiles_pallas_v2(entries, slab_cfg, flat_mode=flat)
         else:
             img = composite_tiles_jnp_v2(entries, slab_cfg, flat_mode=flat)
-        return over_background(img, bg_)
+        return over_background(img, bg_), jnp.reshape(dropped, (1,))
 
     return step(pod, view, proj, model, jnp.asarray(background, jnp.float32))
 
@@ -325,6 +344,7 @@ def render_frame_sharded_multi(
 
     pods: tuple of pod dicts, each sharded over `axis`. models: (M, 4, 4)
     transforms. ranks: (M,) u32 — nearest model must be rank 0.
+    Returns ((padded_H, W, 3), (n_dev,) overflow) like render_frame_sharded.
     """
     import dataclasses as _dc
 
@@ -342,7 +362,7 @@ def render_frame_sharded_multi(
             tuple({k: _pod_spec(v, axis) for k, v in pod.items()} for pod in pods),
             P(), P(), P(), P(), P(),
         ),
-        out_specs=P(axis),
+        out_specs=(P(axis), P(axis)),
         check_vma=False,
     )
     def step(pods_local, view_, proj_, models_, ranks_, bg_):
@@ -374,8 +394,8 @@ def render_frame_sharded_multi(
             jnp.uint32(cfg_m.n_tiles),
         ) << jnp.uint32(cfg_m._tile_shift)
         e_cap = -(-int(capacity_factor * keys.shape[0]) // 128) * 128
-        routed = _route_entries(planes, axis, n_dev, boundaries, e_cap,
-                                ragged)
+        routed, dropped = _route_entries(planes, axis, n_dev, boundaries,
+                                         e_cap, ragged)
         did = jax.lax.axis_index(axis)
         slab_tile0 = did.astype(jnp.int32) * (rows_per_slab * cfg_m.tiles_x)
         entries = _slab_entries(routed, cfg_m, slab_cfg, slab_tile0)
@@ -384,7 +404,7 @@ def render_frame_sharded_multi(
             img = composite_tiles_pallas_v2(entries, slab_cfg, flat_mode=flat)
         else:
             img = composite_tiles_jnp_v2(entries, slab_cfg, flat_mode=flat)
-        return over_background(img, bg_)
+        return over_background(img, bg_), jnp.reshape(dropped, (1,))
 
     return step(pods, view, proj, models, ranks,
                 jnp.asarray(background, jnp.float32))
@@ -405,8 +425,12 @@ def render_sharded(
     axis: str = "splats",
     capacity_factor: float = 2.0,
     ragged: bool | None = None,
+    return_stats: bool = False,
 ):
-    """Convenience wrapper; returns (H, W, 3) cropped to the real viewport."""
+    """Convenience wrapper; returns (H, W, 3) cropped to the real viewport.
+    With `return_stats`, returns (img, {"overflow": int}) — overflow is the
+    count of live entries dropped by the routing capacity clamp (0 unless
+    the slab skew exceeded capacity_factor)."""
     if model is None:
         model = jnp.eye(4)
     if use_pallas is None:
@@ -415,7 +439,7 @@ def render_sharded(
         # XLA:CPU has no ragged-all-to-all thunk; the CPU mesh (tests,
         # dryrun) uses the equal-split transport.
         ragged = mesh.devices.ravel()[0].platform == "tpu"
-    img = render_frame_sharded(
+    img, overflow = render_frame_sharded(
         pod,
         mesh,
         axis,
@@ -431,4 +455,7 @@ def render_sharded(
         capacity_factor=capacity_factor,
         ragged=ragged,
     )
-    return img[: cfg.height]
+    img = img[: cfg.height]
+    if return_stats:
+        return img, {"overflow": int(overflow.max())}
+    return img

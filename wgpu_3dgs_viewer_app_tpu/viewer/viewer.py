@@ -139,8 +139,15 @@ class MultiModelViewer:
         width: int,
         height: int,
         comp: Compressions = Compressions(),
-        tile: int = 16,
-        max_dup: int = 16,
+        # Product default == headline bench config (tile 32, max_dup 4).
+        # max_dup caps tiles-per-splat: 4 is exact for splats spanning
+        # <= 2x2 tiles (64 px) and dims larger ones center-out; measured
+        # error vs the effectively-exact dup=16 at 2M@1080p is mean 5.0e-2,
+        # p99.9 0.55 (tests/test_image_tpu.py::
+        # test_max_dup_truncation_bound_at_bench_scale). Pass max_dup=8
+        # (2.6e-2/0.40) or 16 for quality presets; sort cost scales ~N*dup.
+        tile: int = 32,
+        max_dup: int = 4,
         background=(0.0, 0.0, 0.0),
         use_pallas: Optional[bool] = None,
     ):
