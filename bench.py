@@ -225,14 +225,24 @@ def bench_config3(results):
             sh_degree=0, display_mode=0,
         )
         bits = select_rect(pre, (400.0, 200.0), (1400.0, 800.0))
+        if use_pallas:
+            # Selection edit + highlight ride the fused kernel's gating
+            # inputs — same front-end as the plain orbit path.
+            from wgpu_3dgs_viewer_app_tpu.ops import build_sorted_entries_fused
+
+            entries = build_sorted_entries_fused(
+                pod, comp, cfg, view, proj, jnp.eye(4),
+                sh_degree=3, display_mode=0,
+                selection_bits=bits, selection_edit=sel_edit,
+                highlight_rgba=hl,
+            )
+            return composite_tiles_pallas_v2(entries, cfg)
         pre2 = preprocess(
             pod, comp, view, proj, jnp.eye(4), cfg.width, cfg.height,
             sh_degree=3, display_mode=0,
             selection_bits=bits, selection_edit=sel_edit, highlight_rgba=hl,
         )
         entries = build_sorted_entries(pre2, cfg)
-        if use_pallas:
-            return composite_tiles_pallas_v2(entries, cfg)
         from wgpu_3dgs_viewer_app_tpu.ops import composite_tiles_jnp_v2
 
         return composite_tiles_jnp_v2(entries, cfg)
@@ -273,13 +283,20 @@ def bench_config4(results):
     log(f"config4 mask eval over 6M: {(time.perf_counter()-t0)*1000:.2f} ms")
 
     def step(pod, view, proj, bits):
+        if use_pallas:
+            # Mask bits gate inside the fused kernel (no XLA preprocess).
+            from wgpu_3dgs_viewer_app_tpu.ops import build_sorted_entries_fused
+
+            entries = build_sorted_entries_fused(
+                pod, comp, cfg, view, proj, jnp.eye(4),
+                sh_degree=3, display_mode=0, mask_bits=bits,
+            )
+            return composite_tiles_pallas_v2(entries, cfg)
         pre = preprocess(
             pod, comp, view, proj, jnp.eye(4), cfg.width, cfg.height,
             sh_degree=3, display_mode=0, mask_bits=bits,
         )
         entries = build_sorted_entries(pre, cfg)
-        if use_pallas:
-            return composite_tiles_pallas_v2(entries, cfg)
         return composite_tiles_jnp_v2(entries, cfg)
 
     dt = time_frames(step, (pod, view, proj, bits), iters=8)

@@ -201,3 +201,88 @@ def test_max_dup_truncation_bound_at_bench_scale():
     assert stats[4][0] < 0.08 and stats[4][1] < 0.7    # bench knob, measured 5.0e-2/0.55
     assert stats[8][0] < 0.035 and stats[8][1] < 0.55  # interactive default, measured 2.6e-2/0.40
     assert stats[8][0] < 0.65 * stats[4][0]            # monotone improvement
+
+
+def test_fused_gated_matches_xla_on_chip():
+    """Compiled GATED fused front-end (mask + per-splat edit + selection
+    edit + highlight riding the kernel's gating inputs) vs the XLA
+    preprocess path, on the TPU (round-2 verdict next #6). Bounds follow
+    test_fused_frontend_matches_xla_on_chip: Mosaic/XLA rounding wobble can
+    reshuffle a handful of boundary-straddling truncated splats."""
+    from wgpu_3dgs_viewer_app_tpu.core.edit import EDIT_FLAG_ENABLED, make_edit_soa
+
+    comp, pod, view, proj, cfg = _scene(n=80_000, w=256, h=256)
+    n_pad = pod["pos"].shape[-2] * 128
+    rng = np.random.default_rng(3)
+    mask = jnp.asarray((rng.random(n_pad) > 0.25).astype(np.uint8))
+    sel = jnp.asarray((rng.random(n_pad) > 0.5).astype(np.uint8))
+    flags, ergb, eprm = make_edit_soa(n_pad)
+    flags[: n_pad // 2] = EDIT_FLAG_ENABLED
+    ergb[: n_pad // 2] = [0.1, 1.2, 0.95]
+    eprm[: n_pad // 2] = [0.1, 0.2, 1.1, 0.9]
+    edit = (jnp.asarray(flags), jnp.asarray(ergb), jnp.asarray(eprm))
+    sel_edit = (
+        jnp.uint32(EDIT_FLAG_ENABLED),
+        jnp.asarray([0.15, 1.2, 1.0], jnp.float32),
+        jnp.asarray([0.1, 0.2, 1.0, 0.9], jnp.float32),
+    )
+    hl = jnp.asarray([1.0, 0.0, 1.0, 0.4], jnp.float32)
+    kw = dict(mask_bits=mask, edit=edit, selection_bits=sel,
+              selection_edit=sel_edit, highlight_rgba=hl)
+
+    pre = preprocess(pod, comp, view, proj, jnp.eye(4), cfg.width, cfg.height,
+                     sh_degree=3, **kw)
+    a = build_sorted_entries(pre, cfg, impl="jnp")
+    b = build_sorted_entries_fused(pod, comp, cfg, view, proj, jnp.eye(4),
+                                   sh_degree=3, **kw)
+    ca, cb = np.asarray(a.tile_counts), np.asarray(b.tile_counts)
+    assert abs(int(ca.sum()) - int(cb.sum())) < 64
+    assert float((ca != cb).mean()) < 0.05
+    img_a = _oracle_image(a, cfg)
+    img_b = _oracle_image(b, cfg)
+    d = np.abs(img_a - img_b)
+    frac = float((d > 2e-3).mean())
+    print(f"gated fused-vs-xla: mean |d| = {d.mean():.2e}, "
+          f"frac>2e-3 = {frac:.2%}, max = {d.max():.3f}")
+    assert d.mean() < 1.5e-3
+    assert frac < 0.04
+    assert d.max() < 0.5
+
+
+def test_ragged_all_to_all_routing_on_chip():
+    """`jax.lax.ragged_all_to_all` — the real multi-chip transport — lowers,
+    compiles and EXECUTES on TPU hardware (round-2 verdict next #5: it had
+    never run on any backend; CPU meshes use the equal-split fallback).
+    A 1-device mesh exercises the full routing metadata path (searchsorted
+    boundaries, send-size gather, offset clamps, ragged DMA); the image
+    must match the unsharded pipeline and the overflow counter must be 0."""
+    from wgpu_3dgs_viewer_app_tpu.ops import over_background
+    from wgpu_3dgs_viewer_app_tpu.parallel import (
+        make_mesh,
+        render_frame_sharded,
+        shard_pod,
+    )
+
+    comp, pod, view, proj, cfg = _scene(n=80_000, w=256, h=256)
+    mesh = make_mesh(jax.devices()[:1])
+    pod_sharded = shard_pod(pod, mesh)
+    img, overflow = render_frame_sharded(
+        pod_sharded, mesh, "splats", comp, cfg, view, proj, jnp.eye(4),
+        jnp.zeros(3, jnp.float32), sh_degree=3, use_pallas=True, ragged=True,
+    )
+    img = np.asarray(img)[: cfg.height]
+    assert int(np.asarray(overflow).max()) == 0
+    assert np.isfinite(img).all()
+
+    ref = np.asarray(over_background(
+        composite_tiles_pallas_v2(
+            build_sorted_entries_fused(pod, comp, cfg, view, proj,
+                                       jnp.eye(4), sh_degree=3), cfg),
+        jnp.zeros(3),
+    ))
+    d = np.abs(img - ref)
+    frac = float((d > 2e-3).mean())
+    print(f"ragged-vs-unsharded: mean |d| = {d.mean():.2e}, "
+          f"frac>2e-3 = {frac:.2%}, max = {d.max():.3f}")
+    assert d.mean() < 1.5e-3
+    assert frac < 0.04

@@ -304,6 +304,82 @@ def test_fused_kernel_matches_two_stage():
         )
 
 
+def test_fused_kernel_gated_matches_two_stage():
+    """Gated fused front-end (round-2 verdict next #6): mask bits,
+    per-splat edits, selection edit + highlight through the fused kernel
+    produce the same tile ranges and image as the jnp preprocess path."""
+    from wgpu_3dgs_viewer_app_tpu.core.edit import (
+        EDIT_FLAG_ENABLED,
+        EDIT_FLAG_HIDDEN,
+        EDIT_FLAG_OVERRIDE_COLOR,
+        make_edit_soa,
+    )
+    from wgpu_3dgs_viewer_app_tpu.ops import (
+        build_sorted_entries,
+        build_sorted_entries_fused,
+        composite_tiles_jnp_v2,
+    )
+
+    comp = Compressions()
+    n = 700
+    scene = make_random_scene(n, seed=11, extent=1.2, scale_range=(0.01, 0.05))
+    pod = {k: jnp.asarray(v) for k, v in pack_gaussians(scene, comp).items()}
+    cam = CameraOrbitControl(target=(0, 0, 0), pos=(0, 0, -4))
+    view, proj = jnp.asarray(cam.view()), jnp.asarray(cam.projection(1.0))
+    cfg = TileConfig(128, 128, tile=16, max_dup=8)
+    n_pad = pod["pos"].shape[-2] * 128  # gating arrays live at pod padding
+
+    rng = np.random.default_rng(0)
+    mask = np.zeros(n_pad, np.uint8)
+    mask[:n] = rng.random(n) > 0.3
+    sel = np.zeros(n_pad, np.uint8)
+    sel[:n] = rng.random(n) > 0.5
+    flags, ergb, eprm = make_edit_soa(n_pad)
+    flags[: n // 3] = EDIT_FLAG_ENABLED
+    flags[n // 3 : n // 2] = EDIT_FLAG_ENABLED | EDIT_FLAG_OVERRIDE_COLOR
+    flags[10:20] |= EDIT_FLAG_ENABLED | EDIT_FLAG_HIDDEN
+    ergb[: n // 3] = [0.25, 1.3, 0.9]
+    ergb[n // 3 : n // 2] = [0.9, 0.2, 0.1]
+    eprm[: n // 2] = [0.2, 0.3, 1.4, 0.8]
+    edit = (jnp.asarray(flags), jnp.asarray(ergb), jnp.asarray(eprm))
+    sel_edit = (
+        jnp.uint32(EDIT_FLAG_ENABLED),
+        jnp.asarray([0.15, 1.2, 1.0], jnp.float32),
+        jnp.asarray([0.1, 0.2, 1.0, 0.9], jnp.float32),
+    )
+    hl = jnp.asarray([1.0, 0.0, 1.0, 0.4], jnp.float32)
+
+    # Sub-combinations hit the kernel's separate static paths.
+    cases = [
+        dict(mask_bits=jnp.asarray(mask)),
+        dict(edit=edit),
+        dict(selection_bits=jnp.asarray(sel), selection_edit=sel_edit),
+        dict(selection_bits=jnp.asarray(sel), highlight_rgba=hl),
+        dict(mask_bits=jnp.asarray(mask), edit=edit,
+             selection_bits=jnp.asarray(sel), selection_edit=sel_edit,
+             highlight_rgba=hl),
+    ]
+    for kw in cases:
+        pre = preprocess(
+            pod, comp, view, proj, jnp.eye(4), 128, 128, sh_degree=2, **kw
+        )
+        a = build_sorted_entries(pre, cfg, impl="jnp")
+        b = build_sorted_entries_fused(
+            pod, comp, cfg, view, proj, jnp.eye(4), sh_degree=2,
+            interpret=True, **kw
+        )
+        np.testing.assert_array_equal(
+            np.asarray(a.tile_counts), np.asarray(b.tile_counts),
+            err_msg=f"gates={sorted(kw)}",
+        )
+        img_a = composite_tiles_jnp_v2(a, cfg)
+        img_b = composite_tiles_jnp_v2(b, cfg)
+        np.testing.assert_allclose(
+            np.asarray(img_a), np.asarray(img_b), atol=2e-5,
+            err_msg=f"gates={sorted(kw)}",
+        )
+
+
 def test_fused_model_rank_in_keys():
     """Regression: the fused kernel must read the model rank from the same
     params slot the packer writes (fused.MODEL_RANK_SLOT). With a wrong slot

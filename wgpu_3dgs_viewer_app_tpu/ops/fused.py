@@ -147,12 +147,19 @@ def _kernel(
     no_sh0: bool,
     display_mode: int,
     presort: bool = False,
+    has_mask: bool = False,
+    has_edit: bool = False,
+    has_sel_edit: bool = False,
+    has_highlight: bool = False,
 ):
     refs = list(rest)
     sh_ref = refs.pop(0) if comp.sh != ShCompression.REMOVE else None
     if comp.sh == ShCompression.NORM8:
         mn_ref = refs.pop(0)
         span_ref = refs.pop(0)
+    gate_ref = refs.pop(0) if (has_mask or has_sel_edit or has_highlight) else None
+    eflags_ref = refs.pop(0) if has_edit else None
+    evals_ref = refs.pop(0) if has_edit else None
     keys_ref, p1_ref, p2_ref, p3_ref = refs
 
     p = params_ref
@@ -235,6 +242,42 @@ def _kernel(
         col = c0r if not no_sh0 else tuple(jnp.full_like(c, 0.5) for c in c0r)
     col_r, col_g, col_b = (jnp.clip(c, 0.0, 1.0) for c in col)
 
+    # --- gates + edits (ops/preprocess.py order: mask gate, per-splat
+    # edit, selection edit, highlight — BEFORE the opacity-aware extent so
+    # edited alpha shapes the live radius and the sort key) ---
+    from ..core.edit import apply_edit_components
+
+    gate_w = gate_ref[...] if gate_ref is not None else None
+    valid_gate = None
+    if has_edit:
+        col_r, col_g, col_b, alpha, hidden = apply_edit_components(
+            col_r, col_g, col_b, alpha, eflags_ref[...],
+            evals_ref[0], evals_ref[1], evals_ref[2],
+            evals_ref[3], evals_ref[4], evals_ref[5], evals_ref[6],
+        )
+        valid_gate = ~hidden
+    if has_sel_edit or has_highlight:
+        sel = ((gate_w >> jnp.uint32(1)) & jnp.uint32(1)) != 0
+    if has_sel_edit:
+        sflags = p[SEL_FLAGS_SLOT].astype(jnp.int32).astype(jnp.uint32)
+        nf = jnp.where(sel, sflags, jnp.uint32(0))
+        col_r, col_g, col_b, alpha, hidden2 = apply_edit_components(
+            col_r, col_g, col_b, alpha, nf,
+            p[SEL_RGB_SLOT], p[SEL_RGB_SLOT + 1], p[SEL_RGB_SLOT + 2],
+            p[SEL_PARAMS_SLOT], p[SEL_PARAMS_SLOT + 1],
+            p[SEL_PARAMS_SLOT + 2], p[SEL_PARAMS_SLOT + 3],
+        )
+        valid_gate = (~hidden2) if valid_gate is None else (valid_gate & ~hidden2)
+    if has_highlight:
+        ha = p[HIGHLIGHT_SLOT + 3]
+        keep = 1.0 - ha
+        col_r = jnp.where(sel, col_r * keep + p[HIGHLIGHT_SLOT] * ha, col_r)
+        col_g = jnp.where(sel, col_g * keep + p[HIGHLIGHT_SLOT + 1] * ha, col_g)
+        col_b = jnp.where(sel, col_b * keep + p[HIGHLIGHT_SLOT + 2] * ha, col_b)
+    if has_mask:
+        m = (gate_w & jnp.uint32(1)) != 0
+        valid_gate = m if valid_gate is None else (valid_gate & m)
+
     # --- opacity-aware extent (ops/preprocess.py semantics) ---
     if display_mode == 0:
         cut = jnp.sqrt(2.0 * jnp.maximum(jnp.log(alpha * (1.0 / ALPHA_EPS)), 0.0))
@@ -253,6 +296,8 @@ def _kernel(
         & (alpha > ALPHA_EPS)
         & (radius > 0)
     )
+    if valid_gate is not None:
+        valid = valid & valid_gate
 
     # --- enumeration precursors (ops/binning.py semantics) ---
     if cfg.model_bits:
@@ -320,9 +365,12 @@ def _kernel(
     p1_ref[...], p2_ref[...], p3_ref[...] = ops[1:]
 
 
-def _frame_params(view, proj, model, width, height, size, model_rank=0):
-    """Pack the per-frame scalars the kernel needs into one (40,) f32.
-    Slot MODEL_RANK_SLOT carries the model rank for fused multi-model keys."""
+def _frame_params(view, proj, model, width, height, size, model_rank=0,
+                  selection_edit=None, highlight_rgba=None):
+    """Pack the per-frame scalars the kernel needs into one (PARAMS_LEN,)
+    f32. Slot MODEL_RANK_SLOT carries the model rank for fused multi-model
+    keys; SEL_FLAGS/RGB/PARAMS and HIGHLIGHT slots carry the scene-wide
+    selection edit + highlight constants for the gated paths."""
     view = jnp.asarray(view, jnp.float32)
     proj = jnp.asarray(proj, jnp.float32)
     model = jnp.asarray(model, jnp.float32)
@@ -354,9 +402,24 @@ def _frame_params(view, proj, model, width, height, size, model_rank=0):
         jnp.asarray([0.1, 1e4], jnp.float32),  # z_near/z_far defaults
         jnp.reshape(jnp.asarray(model_rank, jnp.float32), (1,)),
     ]
+    if selection_edit is not None:
+        s_flags, s_rgb, s_params = selection_edit
+        parts += [
+            jnp.reshape(jnp.asarray(s_flags, jnp.float32), (1,)),
+            jnp.asarray(s_rgb, jnp.float32).reshape(3),
+            jnp.asarray(s_params, jnp.float32).reshape(4),
+        ]
+    else:
+        parts.append(jnp.zeros(8, jnp.float32))
+    if highlight_rgba is not None:
+        parts.append(jnp.asarray(highlight_rgba, jnp.float32).reshape(4))
+    else:
+        parts.append(jnp.zeros(4, jnp.float32))
     out = jnp.concatenate(parts)
-    assert out.shape[0] == MODEL_RANK_SLOT + 1, out.shape
-    return jnp.concatenate([out, jnp.zeros(40 - out.shape[0], jnp.float32)])
+    assert out.shape[0] == HIGHLIGHT_SLOT + 4, out.shape
+    return jnp.concatenate(
+        [out, jnp.zeros(PARAMS_LEN - out.shape[0], jnp.float32)]
+    )
 
 
 @functools.partial(
@@ -378,17 +441,34 @@ def enumerate_entries_fused(
     interpret: bool = False,
     model_rank=0,
     presort: bool = False,
+    mask_bits=None,
+    edit=None,
+    selection_bits=None,
+    selection_edit=None,
+    highlight_rgba=None,
 ):
     """pod -> flat (keys, p1, p2, p3) entry planes (one fused Pallas pass).
     `model_rank` keys the fused multi-model pass (requires
     cfg.model_bits > 0; nearest model = rank 0).
 
+    Gating inputs mirror ops/preprocess.py: `mask_bits`/`selection_bits`
+    (N,) u8/bool, `edit` per-splat (flags (N,), rgb (N,3), params (N,4)),
+    `selection_edit` scene-wide (flags, rgb (3,), params (4,)),
+    `highlight_rgba` (4,). Bits pack into ONE u32 plane (bit 0 mask,
+    bit 1 selected); the scene-wide constants ride the SMEM params vector.
+
     With `presort`, each grid step's Rb*D entry rows come out block-sorted
     in the merge sort's phase-1 layout (BLOCK-entry runs alternating
     asc/desc) — feed them straight to `ops.sort.merge_presorted`, skipping
     the standalone phase-1 kernel and its HBM round trip."""
+    has_mask = mask_bits is not None
+    has_edit = edit is not None
+    has_sel_edit = selection_bits is not None and selection_edit is not None
+    has_highlight = selection_bits is not None and highlight_rgba is not None
     params = _frame_params(view, proj, model, cfg.width, cfg.height, size,
-                           model_rank)
+                           model_rank,
+                           selection_edit if has_sel_edit else None,
+                           highlight_rgba if has_highlight else None)
 
     pos = pod["pos"]
     rows_total = pos.shape[-2]
@@ -421,6 +501,44 @@ def enumerate_entries_fused(
         ins += [padr(pod["sh_mn"]), padr(pod["sh_span"])]
         in_specs += [pl.BlockSpec((rb, ROW), lambda i: (i, 0))] * 2
 
+    def bits_to_rows(bits, fill):
+        """(N,) bits -> (rows_total, 128) u32, padded with `fill`."""
+        flat = jnp.asarray(bits).reshape(-1).astype(jnp.uint32)
+        need = rows_total * ROW
+        if flat.shape[0] < need:
+            flat = jnp.concatenate(
+                [flat, jnp.full(need - flat.shape[0], fill, jnp.uint32)]
+            )
+        return flat[:need].reshape(rows_total, ROW)
+
+    if has_mask or has_sel_edit or has_highlight:
+        # Padding fills: mask pad = 1 and selection pad = 0 are both
+        # no-ops (pod pad rows are alpha-0/invalid anyway).
+        gate = bits_to_rows(mask_bits, 1) if has_mask else None
+        if has_sel_edit or has_highlight:
+            selp = bits_to_rows(selection_bits, 0) << jnp.uint32(1)
+            gate = selp if gate is None else (gate | selp)
+        ins.append(padr(gate))
+        in_specs.append(pl.BlockSpec((rb, ROW), lambda i: (i, 0)))
+    if has_edit:
+        e_flags, e_rgb, e_params = edit
+
+        def vals_to_rows(v):
+            """(N, k) -> (k, rows_total, 128) f32 (identity-padded rows)."""
+            v = jnp.asarray(v, jnp.float32)
+            need = rows_total * ROW
+            if v.shape[0] < need:
+                v = jnp.concatenate(
+                    [v, jnp.zeros((need - v.shape[0], v.shape[1]), jnp.float32)]
+                )
+            return v[:need].T.reshape(v.shape[1], rows_total, ROW)
+
+        ins.append(padr(bits_to_rows(e_flags, 0)))
+        in_specs.append(pl.BlockSpec((rb, ROW), lambda i: (i, 0)))
+        evals = jnp.concatenate([vals_to_rows(e_rgb), vals_to_rows(e_params)])
+        ins.append(padr(evals))
+        in_specs.append(pl.BlockSpec((7, rb, ROW), lambda i: (0, i, 0)))
+
     rows_padded = rows_total + pad_rows
     d = cfg.max_dup
     if presort:
@@ -444,6 +562,10 @@ def enumerate_entries_fused(
         no_sh0=no_sh0,
         display_mode=display_mode,
         presort=presort,
+        has_mask=has_mask,
+        has_edit=has_edit,
+        has_sel_edit=has_sel_edit,
+        has_highlight=has_highlight,
     )
     keys, p1, p2, p3 = pl.pallas_call(
         kernel,
@@ -486,8 +608,15 @@ def build_sorted_entries_fused(
     display_mode: int = 0,
     interpret: bool = False,
     presort: bool | None = None,
+    mask_bits=None,
+    edit=None,
+    selection_bits=None,
+    selection_edit=None,
+    highlight_rgba=None,
 ) -> SortedEntries:
     """pod -> SortedEntries via the fused kernel + Pallas merge sort.
+    Gating inputs (mask/edit/selection/highlight) as in
+    `enumerate_entries_fused` — the editing workloads share this kernel.
 
     On the TPU at sort-worthy sizes the kernel also runs the merge sort's
     phase-1 block sort in VMEM (`presort=True`) so the unsorted entry
@@ -520,6 +649,8 @@ def build_sorted_entries_fused(
     keys, p1, p2, p3 = enumerate_entries_fused(
         pod, comp, cfg, view, proj, model, sh_degree, no_sh0, size,
         display_mode, interpret, presort=presort,
+        mask_bits=mask_bits, edit=edit, selection_bits=selection_bits,
+        selection_edit=selection_edit, highlight_rgba=highlight_rgba,
     )
     if presort:
         out = merge_presorted(keys, p1, p2, p3, interleaved=True)

@@ -272,14 +272,11 @@ class MultiModelViewer:
         """One model -> (H, W, 4) premultiplied rgba."""
         m = self.models[key]
         gt = self.gaussian_transform
-        # Plain render (no edits / selection / mask ever applied, highlight
-        # off): one fused Pallas pass over the pod (ops/fused.py).
-        gates_idle = not (
-            m.buffers.edits_active
-            or m.buffers.mask_active
-            or (m.buffers.selection_active and (self.selection_edit or self.show_highlight))
-        )
-        if self.use_pallas and gates_idle:
+        if self.use_pallas:
+            # One fused Pallas pass over the pod (ops/fused.py) — the
+            # editing workloads (mask / per-splat edits / selection
+            # edit + highlight) feed the SAME kernel through its gating
+            # inputs, so they pay no XLA-preprocess penalty.
             entries = build_sorted_entries_fused(
                 m.buffers.pod,
                 self.comp,
@@ -291,6 +288,7 @@ class MultiModelViewer:
                 no_sh0=gt.no_sh0,
                 size=jnp.float32(gt.size),
                 display_mode=int(gt.display_mode),
+                **self._gating_kwargs(m, show_unedited),
             )
             flat = int(gt.display_mode) != 0
             return composite_tiles_pallas_v2(entries, self.cfg, flat_mode=flat)
@@ -322,24 +320,44 @@ class MultiModelViewer:
             self.show_highlight,
         )
 
+    def _gating_kwargs(self, m, show_unedited: bool) -> dict:
+        """Active gating inputs for the fused kernel (only ACTIVE gates are
+        passed — each presence pattern is its own jit specialization, and
+        the all-idle pattern is the plain orbit fast path)."""
+        kw = {}
+        if m.buffers.mask_active:
+            kw["mask_bits"] = m.buffers.mask
+        if m.buffers.edits_active and not show_unedited:
+            kw["edit"] = (m.buffers.edit_flags, m.buffers.edit_rgb,
+                          m.buffers.edit_params)
+        if m.buffers.selection_active:
+            if self.selection_edit is not None and not show_unedited:
+                f, rgb, params = self.selection_edit.as_arrays()
+                kw["selection_edit"] = (
+                    jnp.asarray(f), jnp.asarray(rgb), jnp.asarray(params)
+                )
+            if self.show_highlight:
+                kw["highlight_rgba"] = jnp.asarray(
+                    self.highlight.rgba, jnp.float32
+                )
+            if "selection_edit" in kw or "highlight_rgba" in kw:
+                kw["selection_bits"] = m.buffers.selection
+        return kw
+
     def _model_entry_planes(self, key: str, cfg, rank, show_unedited: bool):
         """One model's unsorted flat entry planes under `cfg` with
-        `model_rank` = rank (fused kernel when no gates are active, the
-        gated jnp preprocess otherwise)."""
+        `model_rank` = rank (the fused kernel with gating inputs on TPU,
+        the jnp preprocess otherwise)."""
         m = self.models[key]
         gt = self.gaussian_transform
-        gates_idle = not (
-            m.buffers.edits_active
-            or m.buffers.mask_active
-            or (m.buffers.selection_active and (self.selection_edit or self.show_highlight))
-        )
         mmat = jnp.asarray(m.transform.matrix())
-        if self.use_pallas and gates_idle:
+        if self.use_pallas:
             return enumerate_entries_fused(
                 m.buffers.pod, self.comp, cfg, self._view, self._proj, mmat,
                 sh_degree=gt.sh_deg.degree, no_sh0=gt.no_sh0,
                 size=jnp.float32(gt.size), display_mode=int(gt.display_mode),
                 model_rank=rank,
+                **self._gating_kwargs(m, show_unedited),
             )
         sel_edit = None
         if self.selection_edit is not None and not show_unedited:
