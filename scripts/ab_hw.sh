@@ -2,16 +2,23 @@
 # Hardware A/B sweep of the queued sort/compositor knobs (PERF_NOTES.md
 # "Queued hardware A/Bs"). Run on the real TPU chip:
 #   bash scripts/ab_hw.sh [splats]
-# Each variant runs the headline config (BASELINE config 1) in its own
-# child process so a wedged kernel can't kill the sweep.
+# Each variant runs the headline config (BASELINE config 1) WITH the
+# per-stage breakdown in its own child process, so a wedged kernel can't
+# kill the sweep and every row shows front-end / sort / composite splits.
 set -u
 cd "$(dirname "$0")/.."
 SPLATS="${1:-6000000}"
+OUT="${AB_OUT:-/tmp/ab_hw_$(date +%H%M%S).log}"
+echo "sweep log: $OUT"
 
 run() {
   local label="$1"; shift
-  echo "--- $label"
-  "$@" timeout 900 python bench.py --config 1 --splats "$SPLATS" 2>/dev/null | tail -1
+  echo "--- $label" | tee -a "$OUT"
+  # stdout = the child's JSON; stderr carries the per-stage breakdown and
+  # per-config fps lines — keep both.
+  "$@" timeout 900 python bench.py --config 1 --breakdown \
+      --splats "$SPLATS" 2>&1 \
+    | grep -E "breakdown:|config1|\"ok\"" | tee -a "$OUT"
 }
 
 run baseline            env
@@ -21,3 +28,6 @@ run chunk_rows=128      env GS_MERGE_CHUNK_ROWS=128
 run chunk_rows=512      env GS_MERGE_CHUNK_ROWS=512
 run comp_rowmajor       env GS_COMPOSITE_TRANSPOSED=0
 run block256_chunk128   env GS_SORT_BLOCK_ROWS=256 GS_MERGE_CHUNK_ROWS=128
+run block256_chunk512   env GS_SORT_BLOCK_ROWS=256 GS_MERGE_CHUNK_ROWS=512
+run block512_chunk512   env GS_SORT_BLOCK_ROWS=512 GS_MERGE_CHUNK_ROWS=512
+echo "=== sweep complete; winners -> PERF_NOTES.md" | tee -a "$OUT"
