@@ -200,3 +200,40 @@ def test_hsv_roundtrip():
     rgb = jnp.asarray(np.random.default_rng(3).uniform(0, 1, (64, 3)).astype(np.float32))
     back = hsv_to_rgb(rgb_to_hsv(rgb))
     np.testing.assert_allclose(np.asarray(back), np.asarray(rgb), atol=1e-5)
+
+
+def test_apply_edit_np_matches_jnp():
+    """Host-path numpy edit baking == the device apply_edit (export must
+    not touch JAX: eager dispatch measured ~7 s / hangs when the device
+    tunnel is down)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from wgpu_3dgs_viewer_app_tpu.core.edit import (
+        EDIT_FLAG_ENABLED,
+        EDIT_FLAG_HIDDEN,
+        EDIT_FLAG_OVERRIDE_COLOR,
+        apply_edit,
+        apply_edit_np,
+    )
+
+    rng = np.random.default_rng(4)
+    n = 512
+    rgb = rng.random((n, 3), np.float32)
+    op = rng.random(n, np.float32)
+    flags = rng.choice(
+        [0, EDIT_FLAG_ENABLED, EDIT_FLAG_ENABLED | EDIT_FLAG_OVERRIDE_COLOR,
+         EDIT_FLAG_ENABLED | EDIT_FLAG_HIDDEN], n).astype(np.uint32)
+    ergb = rng.random((n, 3), np.float32) * np.array([1.0, 1.5, 1.5], np.float32)
+    eprm = np.stack([
+        rng.uniform(-0.5, 0.5, n), rng.uniform(-1, 1, n),
+        rng.uniform(0.2, 2.5, n), rng.uniform(0, 1, n),
+    ], -1).astype(np.float32)
+
+    r_np, o_np, h_np = apply_edit_np(rgb, op, flags, ergb, eprm)
+    r_j, o_j, h_j = apply_edit(
+        jnp.asarray(rgb), jnp.asarray(op), jnp.asarray(flags),
+        jnp.asarray(ergb), jnp.asarray(eprm))
+    np.testing.assert_allclose(r_np, np.asarray(r_j), atol=1e-5)
+    np.testing.assert_allclose(o_np, np.asarray(o_j), atol=1e-6)
+    np.testing.assert_array_equal(h_np, np.asarray(h_j))

@@ -37,7 +37,9 @@ from ..mask.shapes import MaskShape, MaskShapeKind
 from ..query.pods import QuerySelectionOp
 from ..query.selection import QueryToolset
 from ..utils.format import human_readable_size
+from ..utils.log import get_logger
 from .export import ExportChoice, serialize_exports, snapshot_exports
+
 from .state import (
     Action,
     GaussianSplattingSession,
@@ -45,6 +47,7 @@ from .state import (
     SelectionMethod,
 )
 
+_LOG = get_logger("server")
 ASSETS = Path(__file__).parent / "assets"
 
 
@@ -473,8 +476,12 @@ class ViewerServer:
                     for k, c in choices.items()
                 }
             snap = snapshot_exports(s.viewer, ch)
+        t0 = time.perf_counter()
         buf = io.BytesIO()
         names = serialize_exports(snap, buf)
+        _LOG.info("export %s: %s in %.2fs (serialized off-lock)", names,
+                  human_readable_size(buf.getbuffer().nbytes),
+                  time.perf_counter() - t0)
         multi = len(names) > 1
         fname = "models.zip" if multi else (names[0] if names else "model.ply")
         if not fname.endswith((".ply", ".zip")):
@@ -535,6 +542,7 @@ def make_handler(server: ViewerServer):
                 else:
                     self._json({"error": "not found"}, 404)
             except Exception as e:
+                _LOG.warning("GET %s failed: %s", self.path, e)
                 self._json({"error": str(e)}, 500)
 
         def do_POST(self):
@@ -562,6 +570,7 @@ def make_handler(server: ViewerServer):
                 else:
                     self._json({"error": "not found"}, 404)
             except Exception as e:
+                _LOG.warning("POST %s failed: %s", self.path, e)
                 self._json({"error": str(e)}, 500)
 
     return Handler
@@ -577,5 +586,6 @@ def serve(
     session = session or GaussianSplattingSession(**session_kw)
     vs = ViewerServer(session)
     httpd = ThreadingHTTPServer((host, port), make_handler(vs))
+    _LOG.info("serving on %s:%d", host, port)
     print(f"3DGS TPU viewer at http://{host}:{port}/")
     httpd.serve_forever()

@@ -45,10 +45,13 @@ from ..query.selection import (
     combine_selection,
     sample_texture_at_centers,
 )
+from ..utils.log import get_logger
 from ..viewer.viewer import MultiModelViewer
 from .loader import StreamingLoader
 from .measurement import Measurement, MeasurementHitPair, render_measurement_overlay
 
+
+_LOG = get_logger("state")
 
 class Action(enum.Enum):
     """Current viewport action mode (camera vs query actions)."""
@@ -226,6 +229,7 @@ class GaussianSplattingSession:
             raise RuntimeError("another model is still loading")
         loader = StreamingLoader(reader)
         key = self.viewer.dedup_key(file_name)
+        _LOG.info("streaming load %r: %d splats", key, loader.count)
         self.viewer.add_empty_model(key, loader.count)
         if self.selected_key is None:
             self.selected_key = key
@@ -241,6 +245,7 @@ class GaussianSplattingSession:
         if self.loader is not None:
             raise RuntimeError("cannot change compression while a model is loading")
         self.compressions = comp
+        _LOG.info("re-packing loaded models to %s", comp)
         self.viewer.set_compressions(comp)
 
     def _drain_loader(self) -> None:
