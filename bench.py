@@ -31,6 +31,14 @@ import jax.numpy as jnp  # noqa: E402
 # slow remote helper; cached reruns are instant. Children share the cache.
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_gs3d")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# Ambient plugin shims ignore the JAX_PLATFORMS env var; mirror it through
+# the config API so `JAX_PLATFORMS=cpu python bench.py --quick` works even
+# when the TPU runtime is unreachable (CI / tunnel-down smoke runs).
+if os.environ.get("JAX_PLATFORMS"):
+    try:
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    except Exception:
+        pass  # backend already initialized
 
 
 def log(*a):
@@ -363,8 +371,15 @@ def run_single(args):
             val = float(jnp.asarray([1.0, 2.0]).sum())
             assert val == 3.0
         elif args.config == "1":
-            bench_config1(out["results"], n=args.splats or 6_000_000,
-                          breakdown=args.breakdown)
+            if args.trace:
+                # XLA/op-level device trace (xprof; view with tensorboard).
+                with jax.profiler.trace(args.trace):
+                    bench_config1(out["results"], n=args.splats or 6_000_000,
+                                  breakdown=args.breakdown)
+                log(f"trace written to {args.trace}")
+            else:
+                bench_config1(out["results"], n=args.splats or 6_000_000,
+                              breakdown=args.breakdown)
         else:
             CONFIG_FNS[args.config](out["results"])
     except BaseException as e:  # noqa: BLE001 — children report, never crash
@@ -536,6 +551,11 @@ def main():
     ap.add_argument(
         "--config", default=None,
         help="child mode: run ONE config (probe/0/1/2/3/4) and print its JSON",
+    )
+    ap.add_argument(
+        "--trace", default=None, metavar="DIR",
+        help="child mode with --config 1: wrap the headline bench in a "
+             "jax.profiler device trace written to DIR",
     )
     ap.add_argument(
         "--inject-fail", default=None, metavar="CONFIG",

@@ -339,6 +339,36 @@ def test_server_state_and_set_compressions():
     assert blob2 == blob1  # served from cache within max_age
 
 
+def test_frame_cache_idle_scene_and_dirty_invalidation():
+    """An unchanged scene serves the cached frame (no device re-render);
+    any mutating request invalidates it."""
+    from wgpu_3dgs_viewer_app_tpu.app.server import ViewerServer
+
+    s = make_session()
+    _, buf = ply_bytes(60, extent=0.5)
+    s.open_model("m.ply", buf)
+    for _ in range(50):
+        s.update()
+        if s.loader is None:
+            break
+    vs = ViewerServer(s)
+    renders = []
+    real_update = s.update
+    s.update = lambda: (renders.append(1), real_update())[1]
+
+    b1 = vs.frame_jpeg(quality=70)
+    b2 = vs.frame_jpeg(quality=70)  # idle: cached, no render
+    assert b2 is b1 and len(renders) == 1
+    assert vs.frame_jpeg(quality=60) != b""  # knob change -> re-render
+    assert len(renders) == 2
+    vs.handle_event({"type": "orbit", "dx": 10.0, "dy": 0.0})
+    b3 = vs.frame_jpeg(quality=60)
+    assert len(renders) == 3
+    vs.frame_jpeg(quality=60)
+    assert len(renders) == 3  # idle again
+    assert b3 is not b1
+
+
 def test_first_person_look_and_move_events():
     """The pointer-lock FP path: set_control -> look -> move over /event
     (ref scene.rs:1278-1326 pointer lock, :1357-1458 FP camera)."""

@@ -91,8 +91,17 @@ class ViewerServer:
     def __init__(self, session: GaussianSplattingSession):
         self.session = session
         self.lock = threading.Lock()
-        self._last_frame = None  # (monotonic ts, quality, scale, jpeg bytes)
+        self._last_frame = None  # (version, quality, scale, jpeg bytes, ts)
         self._frame_gate = threading.Lock()  # serializes renderers, not /state
+        # Bumped by every mutating request (event/set/command/open); an
+        # unchanged scene serves the cached frame instead of re-rendering —
+        # the client's poll loop must not burn device time on an idle scene
+        # (the reference repaints continuously, but its GPU is local and
+        # otherwise idle; a serving TPU is not).
+        self._scene_version = 0
+
+    def mark_dirty(self) -> None:
+        self._scene_version += 1
 
     # --- frame ---
 
@@ -105,20 +114,33 @@ class ViewerServer:
         `max_age` (seconds) serves the cached previous frame when fresh
         enough (client-side staleness tolerance); `scale` downsizes the
         encoded image (resolution degrade knob)."""
-        if max_age is not None and self._last_frame is not None:
-            ts, q, sc, blob = self._last_frame
-            if time.monotonic() - ts <= max_age and q == quality and sc == scale:
+        if self._last_frame is not None:
+            ver, q, sc, blob, ts = self._last_frame
+            same_cfg = q == quality and sc == scale
+            if max_age is not None and same_cfg \
+                    and time.monotonic() - ts <= max_age:
+                return blob
+            # Idle scene (no mutations since the last render and no load in
+            # flight): the frame is identical by construction.
+            if same_cfg and ver == self._scene_version \
+                    and self.session.loader is None:
                 return blob
         with self._frame_gate:  # one in-flight render; /state never waits here
+            ver = self._scene_version
             with self.lock:
                 img = self.session.update()
+                loading = self.session.loader is not None
             blob = _encode_jpeg(np.asarray(img), quality, scale)
-            self._last_frame = (time.monotonic(), quality, scale, blob)
+            # A load in flight invalidates immediately (drain happens inside
+            # update(), not through a mutating request).
+            self._last_frame = (ver if not loading else ver - 1, quality,
+                                scale, blob, time.monotonic())
             return blob
 
     # --- input events (ref input system src/tab/scene.rs:1082-1569) ---
 
     def handle_event(self, ev: dict) -> None:
+        self.mark_dirty()
         with self.lock:
             s = self.session
             cam = s.camera
@@ -313,6 +335,7 @@ class ViewerServer:
             }
 
     def handle_set(self, body: dict) -> None:
+        self.mark_dirty()
         with self.lock:
             s = self.session
             for key, v in body.items():
@@ -413,6 +436,7 @@ class ViewerServer:
                                 pair.line_width = float(p["line_width"])
 
     def handle_command(self, body: dict) -> dict:
+        self.mark_dirty()
         with self.lock:
             s = self.session
             cmd = body.get("cmd")
@@ -451,6 +475,7 @@ class ViewerServer:
             return {"ok": True}
 
     def handle_open(self, filename: str, data: bytes) -> dict:
+        self.mark_dirty()
         with self.lock:
             try:
                 self.session.open_model(filename, io.BytesIO(data))
