@@ -120,7 +120,14 @@ def main(argv=None) -> int:
     if args.platform != "auto":
         import jax
 
-        jax.config.update("jax_platforms", args.platform)
+        try:
+            jax.config.update("jax_platforms", args.platform)
+        except Exception as e:
+            # In-process callers (tests, notebooks) may have initialized the
+            # backend already; the update can raise then. Proceed on the
+            # live backend rather than dying (standalone CLI never hits
+            # this — it pins before first device touch).
+            print(f"--platform {args.platform} ignored: {e}", file=sys.stderr)
     return args.fn(args)
 
 

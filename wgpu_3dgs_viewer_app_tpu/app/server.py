@@ -101,6 +101,10 @@ class ViewerServer:
         self._scene_version = 0
 
     def mark_dirty(self) -> None:
+        """Callers MUST hold self.lock: the version bump must order with the
+        mutation it describes (and += alone is not atomic), or a concurrent
+        render could tag a pre-mutation frame with the post-mutation version
+        and the idle cache would serve the stale frame forever."""
         self._scene_version += 1
 
     # --- frame ---
@@ -114,7 +118,9 @@ class ViewerServer:
         `max_age` (seconds) serves the cached previous frame when fresh
         enough (client-side staleness tolerance); `scale` downsizes the
         encoded image (resolution degrade knob)."""
-        if self._last_frame is not None:
+        def cached():
+            if self._last_frame is None:
+                return None
             ver, q, sc, blob, ts = self._last_frame
             same_cfg = q == quality and sc == scale
             if max_age is not None and same_cfg \
@@ -125,9 +131,22 @@ class ViewerServer:
             if same_cfg and ver == self._scene_version \
                     and self.session.loader is None:
                 return blob
+            return None
+
+        blob = cached()
+        if blob is not None:
+            return blob
         with self._frame_gate:  # one in-flight render; /state never waits here
-            ver = self._scene_version
+            # Double-check: concurrent polls that queued on the gate while
+            # another rendered the same scene collapse to one render.
+            blob = cached()
+            if blob is not None:
+                return blob
             with self.lock:
+                # Version capture and the render order under the SAME lock
+                # as mutators' mark_dirty: a mutation either lands in this
+                # frame (bump <= ver) or invalidates it (bump > ver).
+                ver = self._scene_version
                 img = self.session.update()
                 loading = self.session.loader is not None
             blob = _encode_jpeg(np.asarray(img), quality, scale)
@@ -140,8 +159,8 @@ class ViewerServer:
     # --- input events (ref input system src/tab/scene.rs:1082-1569) ---
 
     def handle_event(self, ev: dict) -> None:
-        self.mark_dirty()
         with self.lock:
+            self.mark_dirty()
             s = self.session
             cam = s.camera
             t = ev.get("type")
@@ -335,8 +354,8 @@ class ViewerServer:
             }
 
     def handle_set(self, body: dict) -> None:
-        self.mark_dirty()
         with self.lock:
+            self.mark_dirty()
             s = self.session
             for key, v in body.items():
                 if key == "gaussian_transform":
@@ -436,8 +455,8 @@ class ViewerServer:
                                 pair.line_width = float(p["line_width"])
 
     def handle_command(self, body: dict) -> dict:
-        self.mark_dirty()
         with self.lock:
+            self.mark_dirty()
             s = self.session
             cmd = body.get("cmd")
             if cmd == "remove_model":
@@ -475,8 +494,8 @@ class ViewerServer:
             return {"ok": True}
 
     def handle_open(self, filename: str, data: bytes) -> dict:
-        self.mark_dirty()
         with self.lock:
+            self.mark_dirty()
             try:
                 self.session.open_model(filename, io.BytesIO(data))
                 return {"ok": True}

@@ -472,12 +472,17 @@ def enumerate_entries_fused(
 
     pos = pod["pos"]
     rows_total = pos.shape[-2]
+    gated = has_mask or has_edit or has_sel_edit or has_highlight
     # Non-presort footprint scales with rb*d (4 output planes double-buffered
     # + d dup-plane temporaries at the concat): rb=128 at d=16 measures
     # 16.05 MB scoped — 52 KB over the limit. Cap rb*d <= 1024 (d<=8, the
-    # bench and interactive defaults, keep the full 128 rows).
+    # bench and interactive defaults, keep the full 128 rows). Gating adds
+    # up to 9 double-buffered input planes (~1.15 MB at rb=128) plus the
+    # edit math's live temporaries — halve the cap for headroom (the
+    # 1024-row budget was measured WITHOUT those blocks).
+    cap = 512 if gated else 1024
     rb = _presort_rb(rows_total, cfg.max_dup) if presort else min(
-        ROWS_PER_BLOCK, rows_total, max(1024 // cfg.max_dup, 8)
+        ROWS_PER_BLOCK, rows_total, max(cap // cfg.max_dup, 8)
     )
     pad_rows = (-rows_total) % rb
 
@@ -632,8 +637,13 @@ def build_sorted_entries_fused(
     rb = _presort_rb(rows_total, d)
     rows_padded = rows_total + ((-rows_total) % rb)
     e = rows_padded * d * _ROW
+    gated = any(x is not None for x in
+                (mask_bits, edit, selection_bits, highlight_rgba))
     presort_ok = (
         not interpret
+        and not gated  # presort VMEM budget was measured without the gating
+        # input blocks (+~1.15 MB double-buffered at rb=128) — keep the
+        # in-enum sort to the plain path until re-measured.
         and _jax.default_backend() == "tpu"
         and e >= 1_000_000
         and e % BLOCK == 0
