@@ -146,3 +146,45 @@ def test_merge_sort_interleaved_interpret():
     want = sorted(zip(k[k != SENT].tolist(), p1[k != SENT].tolist()))
     got = sorted(zip(sk[:nlive].tolist(), s1.tolist()))
     assert want == got
+
+
+@pytest.mark.parametrize("span", [1, 2])
+def test_merge_sort_massive_key_ties(span):
+    """Degenerate key entropy (all keys equal / two values): merge-path
+    rank splits break ties by COUNT, and giant tie blocks must still pair
+    every key with a payload exactly once (real scenes hit this when many
+    entries share one tile + quantized depth bucket)."""
+    e = 8 * BLOCK
+    k, p1, p2, p3 = _mk(e, 0.3, span, seed=11)
+    outs = merge_sort(*(jnp.asarray(a) for a in (k, p1, p2, p3)), interpret=True)
+    _check(k, p1, p2, p3, *outs)
+
+
+def test_merge_sort_extreme_live_skew():
+    """All live entries concentrated in one block, the rest pure sentinel:
+    the ragged level descriptors see empty runs (stored == live == 0) at
+    every level and must still compact/merge correctly."""
+    e = 8 * BLOCK
+    rng = np.random.default_rng(13)
+    k = np.full(e, SENT, np.uint32)
+    k[:BLOCK] = rng.integers(0, 1 << 24, BLOCK, dtype=np.uint32)
+    p1 = np.arange(e, dtype=np.uint32)
+    p2 = rng.integers(0, 2**32, e, dtype=np.uint32)
+    p3 = rng.integers(0, 2**32, e, dtype=np.uint32)
+    outs = merge_sort(*(jnp.asarray(a) for a in (k, p1, p2, p3)), interpret=True)
+    _check(k, p1, p2, p3, *outs)
+
+
+def test_merge_sort_live_tail_only():
+    """Mirror skew: live entries only in the LAST block (descending-parity
+    run), sentinels ahead of them — the asc/desc alternation and window
+    clipping must not drop the tail run's entries."""
+    e = 8 * BLOCK
+    rng = np.random.default_rng(17)
+    k = np.full(e, SENT, np.uint32)
+    k[-BLOCK:] = rng.integers(0, 1 << 24, BLOCK, dtype=np.uint32)
+    p1 = np.arange(e, dtype=np.uint32)
+    p2 = rng.integers(0, 2**32, e, dtype=np.uint32)
+    p3 = rng.integers(0, 2**32, e, dtype=np.uint32)
+    outs = merge_sort(*(jnp.asarray(a) for a in (k, p1, p2, p3)), interpret=True)
+    _check(k, p1, p2, p3, *outs)
