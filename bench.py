@@ -227,11 +227,22 @@ def bench_config3(results):
     def step(pod, view, proj):
         # Selection geometry pass: degree-0 (means/valid only) — mirrors the
         # app's `_preprocess_selected` trim (app/state.py), which skips the
-        # SH color math the query never reads.
-        pre = preprocess(
-            pod, comp, view, proj, jnp.eye(4), cfg.width, cfg.height,
-            sh_degree=0, display_mode=0,
-        )
+        # SH color math the query never reads; on TPU it is one fused
+        # Pallas kernel (ops/fused.preprocess_geometry_fused).
+        if use_pallas:
+            from wgpu_3dgs_viewer_app_tpu.ops.fused import (
+                preprocess_geometry_fused,
+            )
+
+            pre = preprocess_geometry_fused(
+                pod, comp, view, proj, jnp.eye(4), cfg.width, cfg.height,
+                display_mode=0,
+            )
+        else:
+            pre = preprocess(
+                pod, comp, view, proj, jnp.eye(4), cfg.width, cfg.height,
+                sh_degree=0, display_mode=0,
+            )
         bits = select_rect(pre, (400.0, 200.0), (1400.0, 800.0))
         if use_pallas:
             # Selection edit + highlight ride the fused kernel's gating

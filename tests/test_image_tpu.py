@@ -286,3 +286,24 @@ def test_ragged_all_to_all_routing_on_chip():
           f"frac>2e-3 = {frac:.2%}, max = {d.max():.3f}")
     assert d.mean() < 1.5e-3
     assert frac < 0.04
+
+
+def test_geometry_pass_fused_on_chip():
+    """Compiled fused query-geometry pass == XLA preprocess at degree 0 on
+    the TPU (query contract: valid flags + screen means drive selection)."""
+    from wgpu_3dgs_viewer_app_tpu.ops.fused import preprocess_geometry_fused
+
+    comp, pod, view, proj, cfg = _scene(n=80_000, w=256, h=256)
+    a = preprocess(pod, comp, view, proj, jnp.eye(4), cfg.width, cfg.height,
+                   sh_degree=0)
+    b = preprocess_geometry_fused(pod, comp, view, proj, jnp.eye(4),
+                                  cfg.width, cfg.height)
+    va, vb = np.asarray(a.valid), np.asarray(b.valid)
+    # Mosaic/XLA rounding wobble can flip validity for splats exactly on a
+    # cull boundary — bound the disagreement, not exact equality.
+    assert (va != vb).mean() < 1e-4
+    both = va & vb
+    for f in ("mean_x", "mean_y", "alpha", "depth"):
+        fa = np.asarray(getattr(a, f))[both]
+        fb = np.asarray(getattr(b, f))[both]
+        np.testing.assert_allclose(fa, fb, rtol=1e-3, atol=1e-3, err_msg=f)

@@ -380,6 +380,45 @@ def test_fused_kernel_gated_matches_two_stage():
         )
 
 
+def test_geometry_pass_fused_matches_preprocess():
+    """The fused query-geometry pass (ops/fused.preprocess_geometry_fused)
+    == ops/preprocess.py at degree 0, including mask + per-splat edit
+    gating — the query path's contract (app/state._preprocess_selected)."""
+    from wgpu_3dgs_viewer_app_tpu.core.edit import EDIT_FLAG_ENABLED, make_edit_soa
+    from wgpu_3dgs_viewer_app_tpu.ops.fused import preprocess_geometry_fused
+
+    comp = Compressions()
+    n = 700
+    scene = make_random_scene(n, seed=21, extent=1.2, scale_range=(0.01, 0.05))
+    pod = {k: jnp.asarray(v) for k, v in pack_gaussians(scene, comp).items()}
+    cam = CameraOrbitControl(target=(0, 0, 0), pos=(0, 0, -4))
+    view, proj = jnp.asarray(cam.view()), jnp.asarray(cam.projection(1.0))
+    n_pad = pod["pos"].shape[-2] * 128
+    rng = np.random.default_rng(2)
+    mask = np.ones(n_pad, np.uint8)
+    mask[:n] = rng.random(n) > 0.3
+    flags, ergb, eprm = make_edit_soa(n_pad)
+    flags[: n // 2] = EDIT_FLAG_ENABLED
+    eprm[: n // 2] = [0.0, 0.0, 1.0, 0.7]  # alpha edit: shifts extents/valid
+    edit = (jnp.asarray(flags), jnp.asarray(ergb), jnp.asarray(eprm))
+
+    for mode in (0, 1, 2):
+        for kw in (dict(), dict(mask_bits=jnp.asarray(mask), edit=edit)):
+            a = preprocess(pod, comp, view, proj, jnp.eye(4), 128, 128,
+                           sh_degree=0, display_mode=mode, **kw)
+            b = preprocess_geometry_fused(pod, comp, view, proj, jnp.eye(4),
+                                          128, 128, display_mode=mode,
+                                          interpret=True, **kw)
+            ctx = f"mode={mode} gated={bool(kw)}"
+            np.testing.assert_array_equal(
+                np.asarray(a.valid), np.asarray(b.valid), err_msg=ctx)
+            for f in ("mean_x", "mean_y", "conic_a", "conic_b", "conic_c",
+                      "alpha", "depth", "radius"):
+                np.testing.assert_allclose(
+                    np.asarray(getattr(a, f)), np.asarray(getattr(b, f)),
+                    rtol=2e-5, atol=2e-5, err_msg=f"{ctx} field={f}")
+
+
 def test_fused_model_rank_in_keys():
     """Regression: the fused kernel must read the model rank from the same
     params slot the packer writes (fused.MODEL_RANK_SLOT). With a wrong slot

@@ -348,6 +348,25 @@ class GaussianSplattingSession:
         # alpha, validity) — never colors — so the SH->RGB evaluation (the
         # bulk of a degree-3 preprocess) is skipped. Round-1 VERDICT weak #6:
         # gesture frames paid a second FULL preprocess.
+        if self.viewer.use_pallas:
+            # One fused Pallas kernel (ops/fused.preprocess_geometry_fused)
+            # instead of the fragmented XLA preprocess.
+            from ..ops.fused import preprocess_geometry_fused
+
+            return preprocess_geometry_fused(
+                m.buffers.pod,
+                self.compressions,
+                self.viewer._view,
+                self.viewer._proj,
+                jnp.asarray(m.transform.matrix()),
+                self.viewer.cfg.width,
+                self.viewer.cfg.height,
+                size=jnp.float32(gt.size),
+                display_mode=int(gt.display_mode),
+                mask_bits=m.buffers.mask,
+                edit=(m.buffers.edit_flags, m.buffers.edit_rgb,
+                      m.buffers.edit_params),
+            )
         return preprocess(
             m.buffers.pod,
             self.compressions,

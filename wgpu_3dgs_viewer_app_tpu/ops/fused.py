@@ -670,3 +670,239 @@ def build_sorted_entries_fused(
             return _sorted_entries_from_interleaved(out[0], out[1], cfg)
         return _sorted_entries_from_sorted(*out, cfg)
     return sort_and_range_entries(keys, p1, p2, p3, cfg)
+
+
+# ---------------------------------------------------------------------------
+# Fused geometry pass: the QUERY preprocess (degree 0) as one Pallas kernel.
+#
+# Selection/hit queries consume per-splat geometry only (screen means,
+# conic, alpha, depth, radius, validity — query/selection.py, query/hit.py)
+# through `app/state._preprocess_selected`, which previously paid the
+# fragmented XLA preprocess every gesture frame (BASELINE config 3's first
+# pass). This kernel mirrors ops/preprocess.py's degree-0 semantics exactly
+# (equality-tested) with the same decode/transform/conic front section as
+# `_kernel` above and the same mask/per-splat-edit gating.
+# ---------------------------------------------------------------------------
+
+
+def _geometry_kernel(
+    params_ref,
+    pos_ref,
+    color0_ref,
+    cov_ref,
+    *rest,
+    comp: Compressions,
+    display_mode: int,
+    has_mask: bool,
+    has_edit: bool,
+):
+    refs = list(rest)
+    gate_ref = refs.pop(0) if has_mask else None
+    eflags_ref = refs.pop(0) if has_edit else None
+    evals_ref = refs.pop(0) if has_edit else None
+    (px_ref, py_ref, ca_ref, cb_ref, cc_ref, cr_ref, cg_ref, cbl_ref,
+     al_ref, de_ref, ra_ref, va_ref) = refs
+
+    p = params_ref
+    m3 = _Mat(((p[0], p[1], p[2]), (p[3], p[4], p[5]), (p[6], p[7], p[8])))
+    mt = (p[9], p[10], p[11])
+    v3 = _Mat(((p[12], p[13], p[14]), (p[15], p[16], p[17]), (p[18], p[19], p[20])))
+    vt = (p[21], p[22], p[23])
+    fx, fy, tanx, tany = p[24], p[25], p[26], p[27]
+    width, height = p[28], p[29]
+    size2 = p[30]
+    size = p[31]
+    z_near, z_far = p[35], p[36]
+
+    px_, py_, pz_ = pos_ref[0], pos_ref[1], pos_ref[2]
+    c0 = color0_ref[...]
+    c0r = (_u8_unit_k(c0, 0), _u8_unit_k(c0, 8), _u8_unit_k(c0, 16))
+    alpha = _u8_unit_k(c0, 24)
+    if comp.cov3d == Cov3dCompression.SINGLE:
+        cov6c = tuple(cov_ref[i] for i in range(6))
+    else:
+        parts = []
+        for j in range(3):
+            lo, hi = unpack2xf16(cov_ref[j])
+            parts += [lo, hi]
+        cov6c = tuple(parts)
+
+    def affine(m, t, x, y, z):
+        return (
+            m[0, 0] * x + m[0, 1] * y + m[0, 2] * z + t[0],
+            m[1, 0] * x + m[1, 1] * y + m[1, 2] * z + t[1],
+            m[2, 0] * x + m[2, 1] * y + m[2, 2] * z + t[2],
+        )
+
+    wx, wy, wz = affine(m3, mt, px_, py_, pz_)
+    cov6_w = tuple(c * size2 for c in transform_cov6_t(cov6c, m3))
+    tvx, tvy, tvz = affine(v3, vt, wx, wy, wz)
+    depth = -tvz
+    d = jnp.maximum(depth, 1e-6)
+    sx = (fx * 2.0) / width
+    sy = (fy * 2.0) / height
+    px = (sx * tvx / d * 0.5 + 0.5) * width
+    py = (0.5 - sy * tvy / d * 0.5) * height
+    cov2d = project_cov3d_to_cov2d(
+        cov6_w, (tvx, tvy, tvz), v3, (fx, fy), (tanx, tany)
+    )
+    (ca, cb, cc), radius, det_ok = cov2d_to_conic_radius(cov2d)
+    if display_mode == 2:
+        r_pt = jnp.maximum(2.0 * size, 1.0)
+        radius = jnp.broadcast_to(r_pt, px.shape)
+        inv = 4.0 / (r_pt * r_pt)
+        ca = jnp.broadcast_to(inv, px.shape)
+        cb = jnp.zeros_like(px)
+        cc = ca
+
+    # Degree 0: colors are the u8 base (queries never read them; kept for
+    # PreprocessOut parity).
+    col_r, col_g, col_b = (jnp.clip(c, 0.0, 1.0) for c in c0r)
+
+    from ..core.edit import apply_edit_components
+
+    valid_gate = None
+    if has_edit:
+        col_r, col_g, col_b, alpha, hidden = apply_edit_components(
+            col_r, col_g, col_b, alpha, eflags_ref[...],
+            evals_ref[0], evals_ref[1], evals_ref[2],
+            evals_ref[3], evals_ref[4], evals_ref[5], evals_ref[6],
+        )
+        valid_gate = ~hidden
+    if has_mask:
+        m = (gate_ref[...] & jnp.uint32(1)) != 0
+        valid_gate = m if valid_gate is None else (valid_gate & m)
+
+    if display_mode == 0:
+        cut = jnp.sqrt(2.0 * jnp.maximum(jnp.log(alpha * (1.0 / ALPHA_EPS)), 0.0))
+        radius = radius * (cut * (1.0 / 3.0))
+    elif display_mode == 1:
+        radius = radius * (2.0 / 3.0)
+    on_screen = (
+        (px + radius > 0) & (px - radius < width)
+        & (py + radius > 0) & (py - radius < height)
+    )
+    valid = (
+        det_ok
+        & (depth > z_near)
+        & (depth < z_far)
+        & on_screen
+        & (alpha > ALPHA_EPS)
+        & (radius > 0)
+    )
+    if valid_gate is not None:
+        valid = valid & valid_gate
+
+    px_ref[...] = px
+    py_ref[...] = py
+    ca_ref[...] = ca
+    cb_ref[...] = cb
+    cc_ref[...] = cc
+    cr_ref[...] = col_r
+    cg_ref[...] = col_g
+    cbl_ref[...] = col_b
+    al_ref[...] = jnp.where(valid, alpha, 0.0)
+    de_ref[...] = depth
+    ra_ref[...] = radius
+    va_ref[...] = valid.astype(jnp.uint32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("comp", "width", "height", "display_mode", "interpret"),
+)
+def preprocess_geometry_fused(
+    pod: dict,
+    comp: Compressions,
+    view: jnp.ndarray,
+    proj: jnp.ndarray,
+    model: jnp.ndarray,
+    width: int,
+    height: int,
+    size=1.0,
+    display_mode: int = 0,
+    mask_bits=None,
+    edit=None,
+    interpret: bool = False,
+):
+    """Degree-0 per-splat geometry pass -> PreprocessOut (one Pallas kernel;
+    the query path's replacement for ops/preprocess.py — identical
+    semantics, equality-tested in tests/test_pipeline.py)."""
+    from .preprocess import PreprocessOut
+
+    has_mask = mask_bits is not None
+    has_edit = edit is not None
+    params = _frame_params(view, proj, model, width, height, size)
+
+    pos = pod["pos"]
+    rows_total = pos.shape[-2]
+    rb = min(ROWS_PER_BLOCK, rows_total)
+    pad_rows = (-rows_total) % rb
+
+    def padr(a):
+        if pad_rows:
+            shape = a.shape[:-2] + (pad_rows, a.shape[-1])
+            a = jnp.concatenate([a, jnp.zeros(shape, a.dtype)], axis=-2)
+        return a
+
+    ins = [padr(pod["pos"]), padr(pod["color0"]), padr(pod["cov3d"])]
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec((3, rb, ROW), lambda i: (0, i, 0)),
+        pl.BlockSpec((rb, ROW), lambda i: (i, 0)),
+        pl.BlockSpec((pod["cov3d"].shape[0], rb, ROW), lambda i: (0, i, 0)),
+    ]
+
+    def bits_to_rows(bits, fill):
+        flat = jnp.asarray(bits).reshape(-1).astype(jnp.uint32)
+        need = rows_total * ROW
+        if flat.shape[0] < need:
+            flat = jnp.concatenate(
+                [flat, jnp.full(need - flat.shape[0], fill, jnp.uint32)]
+            )
+        return flat[:need].reshape(rows_total, ROW)
+
+    if has_mask:
+        ins.append(padr(bits_to_rows(mask_bits, 1)))
+        in_specs.append(pl.BlockSpec((rb, ROW), lambda i: (i, 0)))
+    if has_edit:
+        e_flags, e_rgb, e_params = edit
+
+        def vals_to_rows(v):
+            v = jnp.asarray(v, jnp.float32)
+            need = rows_total * ROW
+            if v.shape[0] < need:
+                v = jnp.concatenate(
+                    [v, jnp.zeros((need - v.shape[0], v.shape[1]), jnp.float32)]
+                )
+            return v[:need].T.reshape(v.shape[1], rows_total, ROW)
+
+        ins.append(padr(bits_to_rows(e_flags, 0)))
+        in_specs.append(pl.BlockSpec((rb, ROW), lambda i: (i, 0)))
+        evals = jnp.concatenate([vals_to_rows(e_rgb), vals_to_rows(e_params)])
+        ins.append(padr(evals))
+        in_specs.append(pl.BlockSpec((7, rb, ROW), lambda i: (0, i, 0)))
+
+    rows_padded = rows_total + pad_rows
+    out_spec = pl.BlockSpec((rb, ROW), lambda i: (i, 0))
+    f32 = jax.ShapeDtypeStruct((rows_padded, ROW), jnp.float32)
+    u32 = jax.ShapeDtypeStruct((rows_padded, ROW), jnp.uint32)
+    outs = pl.pallas_call(
+        functools.partial(
+            _geometry_kernel, comp=comp, display_mode=display_mode,
+            has_mask=has_mask, has_edit=has_edit,
+        ),
+        grid=(rows_padded // rb,),
+        in_specs=in_specs,
+        out_specs=[out_spec] * 12,
+        out_shape=[f32] * 11 + [u32],
+        interpret=interpret,
+    )(params, *ins)
+    flat = [o[:rows_total].reshape(-1) for o in outs]
+    return PreprocessOut(
+        mean_x=flat[0], mean_y=flat[1],
+        conic_a=flat[2], conic_b=flat[3], conic_c=flat[4],
+        col_r=flat[5], col_g=flat[6], col_b=flat[7],
+        alpha=flat[8], depth=flat[9], radius=flat[10],
+        valid=flat[11].astype(jnp.bool_),
+    )
