@@ -154,7 +154,7 @@ def test_merge_sort_massive_key_ties(span):
     rank splits break ties by COUNT, and giant tie blocks must still pair
     every key with a payload exactly once (real scenes hit this when many
     entries share one tile + quantized depth bucket)."""
-    e = 8 * BLOCK
+    e = 4 * BLOCK  # two merge levels — enough to compose tie splits
     k, p1, p2, p3 = _mk(e, 0.3, span, seed=11)
     outs = merge_sort(*(jnp.asarray(a) for a in (k, p1, p2, p3)), interpret=True)
     _check(k, p1, p2, p3, *outs)
