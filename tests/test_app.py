@@ -234,6 +234,24 @@ def test_export_with_mask_filter():
     assert read_ply(out).count == 25
 
 
+def test_cli_orbit_sequence(tmp_path):
+    """`render --frames N` writes an indexed orbit sequence through the
+    same pipelined dispatch the bench measures."""
+    from wgpu_3dgs_viewer_app_tpu.app.cli import main
+
+    _, buf = ply_bytes(150, extent=0.5)
+    ply = tmp_path / "m.ply"
+    ply.write_bytes(buf.getvalue())
+    out = tmp_path / "seq.png"
+    rc = main(["--platform", "cpu", "render", str(ply), "-o", str(out),
+               "--width", "64", "--height", "64", "--sh-deg", "0",
+               "--frames", "2", "--orbit-step", "20", "--distance", "3"])
+    assert rc == 0
+    a, b = tmp_path / "seq_000.png", tmp_path / "seq_001.png"
+    assert a.exists() and b.exists()
+    assert a.read_bytes() != b.read_bytes()  # camera actually moved
+
+
 def test_fps_counter():
     from wgpu_3dgs_viewer_app_tpu.app import FpsCounter
 

@@ -42,15 +42,42 @@ def cmd_render(args) -> int:
 
     center = g.center()
     extent = float(np.abs(g.pos - center).max()) or 1.0
-    yaw = math.radians(args.orbit)
     dist = args.distance or extent * 2.0
-    cam = CameraOrbitControl(
-        target=center,
-        pos=center + dist * np.array([math.sin(yaw), 0.3, math.cos(yaw)], np.float32),
-    )
-    img = v.render(cam)
-    _save_png(args.output, np.asarray(img))
-    print(f"wrote {args.output}", file=sys.stderr)
+
+    def cam_at(deg):
+        yaw = math.radians(deg)
+        return CameraOrbitControl(
+            target=center,
+            pos=center + dist * np.array(
+                [math.sin(yaw), 0.3, math.cos(yaw)], np.float32),
+        )
+
+    if args.frames <= 1:
+        img = v.render(cam_at(args.orbit))
+        _save_png(args.output, np.asarray(img))
+        print(f"wrote {args.output}", file=sys.stderr)
+        return 0
+
+    # Orbit sequence: frames are ENQUEUED back-to-back (jax dispatch is
+    # async) and pulled to the host in order — the interactive pipelining
+    # the bench measures, exposed as a batch renderer. Output name gets a
+    # frame index: out.png -> out_000.png ...
+    import time as _time
+
+    stem, dot, ext = args.output.rpartition(".")
+    if not dot:
+        stem, ext = args.output, "png"
+    t0 = _time.perf_counter()
+    imgs = [v.render(cam_at(args.orbit + i * args.orbit_step))
+            for i in range(args.frames)]
+    paths = []
+    for i, img in enumerate(imgs):
+        paths.append(f"{stem}_{i:03d}.{ext}")
+        _save_png(paths[-1], np.asarray(img))
+    dt = _time.perf_counter() - t0
+    print(f"wrote {len(paths)} frames ({paths[0]} .. {paths[-1]}) in "
+          f"{dt:.2f}s = {len(paths) / dt:.1f} fps incl. PNG encode",
+          file=sys.stderr)
     return 0
 
 
@@ -92,6 +119,10 @@ def main(argv=None) -> int:
     r.add_argument("--mode", choices=["splat", "ellipse", "point"], default="splat")
     r.add_argument("--size", type=float, default=1.0)
     r.add_argument("--orbit", type=float, default=0.0, help="orbit yaw degrees")
+    r.add_argument("--frames", type=int, default=1,
+                   help="render an orbit sequence of N frames (out_%%03d.png)")
+    r.add_argument("--orbit-step", type=float, default=2.0,
+                   help="yaw degrees between sequence frames")
     r.add_argument("--distance", type=float, default=None)
     r.add_argument("--background", type=float, nargs=3, default=[0, 0, 0])
     r.add_argument("--sh-comp", default="norm8", choices=["single", "half", "norm8", "remove"])
