@@ -15,10 +15,14 @@ run() {
   local label="$1"; shift
   echo "--- $label" | tee -a "$OUT"
   # stdout = the child's JSON; stderr carries the per-stage breakdown and
-  # per-config fps lines — keep both.
+  # per-config fps lines. Full output goes to a per-variant file so a
+  # failing run is diagnosable; the summary log keeps the headline lines.
+  local full="${OUT%.log}.$label.full"
   "$@" timeout 900 python bench.py --config 1 --breakdown \
-      --splats "$SPLATS" 2>&1 \
-    | grep -E "breakdown:|config1|\"ok\"" | tee -a "$OUT"
+      --splats "$SPLATS" > "$full" 2>&1
+  local rc=$?
+  grep -E "breakdown:|config1|\"ok\"" "$full" | tee -a "$OUT"
+  [ $rc -ne 0 ] && echo "!! $label rc=$rc (see $full)" | tee -a "$OUT"
 }
 
 run baseline            env
