@@ -29,6 +29,11 @@ import jax
 if os.environ.get("JAX_PLATFORMS"):
     jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
+# Persistent compile cache (shared with bench.py): --levels compiles ~10
+# full merge_sort variants; uncached that is most of the wall time.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_gs3d")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import jax.numpy as jnp
 import numpy as np
 

@@ -13,6 +13,15 @@ import os
 _TPU_RUN = os.environ.get("GS_TPU_TESTS") == "1"
 
 if not _TPU_RUN:
+    # Interpret-mode kernel cost scales with the sort block/chunk sizes; the
+    # shipped defaults (256/512, tuned on hardware 2026-08-19) make the CPU
+    # suite ~4x slower without exercising any additional layout branch (128
+    # hits the same mixed-layout / subtile-parity paths). Pin the fast knobs
+    # for CPU runs; `scripts/hw_validate.sh` (pytest -m tpu) compiles the
+    # real kernels at the true defaults on the chip. Explicit env overrides
+    # still win.
+    os.environ.setdefault("GS_SORT_BLOCK_ROWS", "128")
+    os.environ.setdefault("GS_MERGE_CHUNK_ROWS", "256")
     os.environ["JAX_PLATFORMS"] = "cpu"  # force: ambient env may say axon/tpu
     flags = os.environ.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:

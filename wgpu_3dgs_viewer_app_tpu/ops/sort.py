@@ -52,13 +52,17 @@ LANES = 128
 SENTINEL = 0xFFFFFFFF  # python int: jnp scalars cannot be captured by kernels
 
 # Phase-1 block: 128 rows x 128 lanes = 16384 entries (105 stages). Bigger
-# blocks trade phase-1 stages for one fewer merge level; 128 measured best
-# pre-mixed-layout (64: 98 ms, 128/256: 91 ms at E=24M, 44% sentinels).
+# blocks trade phase-1 stages for one fewer merge level. Hardware sweep
+# (scripts/ab_hw.sh, 2026-08-19, post-mixed-layout, headline config 1):
+# block_rows 128: 62.8 ms e2e / sort 43.1; 256: 59.4 / 39.3; 512: 59.3 /
+# 39.6 — 256 wins (512 ties but costs 2x phase-1 VMEM). Note 256-row
+# blocks use the row-major stage layout, not the 128-row mixed layout,
+# and still win: one fewer merge level beats the cheaper rolls.
 # Env override is a BENCH TUNING KNOB for A/B on hardware (read at import;
 # all callers derive from BLOCK, so the pipeline stays self-consistent).
 import os as _os  # noqa: E402
 
-BLOCK_ROWS = int(_os.environ.get("GS_SORT_BLOCK_ROWS", "128"))
+BLOCK_ROWS = int(_os.environ.get("GS_SORT_BLOCK_ROWS", "256"))
 # A non-power-of-two block makes the bitonic network incomplete (silently
 # WRONG output); fail loudly at import instead (advisor r2).
 assert BLOCK_ROWS >= 8 and (BLOCK_ROWS & (BLOCK_ROWS - 1)) == 0, (
@@ -367,7 +371,11 @@ def block_sort(keys, p1, p2, p3, interpret: bool = False):
 #     buffer's tail is sentinel-restored for the downstream searchsorted.
 # ---------------------------------------------------------------------------
 
-CHUNK_ROWS = int(_os.environ.get("GS_MERGE_CHUNK_ROWS", "256"))  # bench A/B knob
+# Hardware sweep 2026-08-19 with block_rows=256: chunk_rows 128: 66.9 ms
+# e2e / sort 45.9; 256: 59.4 / 39.3; 512: 58.4 / 39.4 — 512 edges 256 at
+# the headline (fewer cells + one fewer level-rounding row), within ~1 ms
+# noise; merge scratch stays < 7 MB VMEM.
+CHUNK_ROWS = int(_os.environ.get("GS_MERGE_CHUNK_ROWS", "512"))  # bench A/B knob
 assert CHUNK_ROWS >= 8 and (CHUNK_ROWS & (CHUNK_ROWS - 1)) == 0, (
     f"GS_MERGE_CHUNK_ROWS must be a power of two >= 8, got {CHUNK_ROWS}"
 )
