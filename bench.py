@@ -14,22 +14,48 @@ ORCHESTRATOR that never touches the device itself — every config runs in
 its own child process (`--config N`) with a timeout and one retry in a
 fresh process (= full backend re-init). The summary line always prints,
 with per-config `error` fields for anything that failed both attempts.
+
+Capture discipline (round-3 postmortem: the driver's fixed window expired
+mid-run and the one summary print at the very end lost every completed
+config — BENCH_r03.json rc=124, parsed null):
+  * the CUMULATIVE summary JSON line is re-printed after EVERY config (and
+    after every headline sub-measurement, streamed out of the child as
+    {"partial": ...} lines) — the last stdout line always holds the best
+    summary so far, so a window kill can no longer zero the capture;
+  * the headline config (1) runs FIRST; 0/2/3/4 follow;
+  * the probe is capped at 2 attempts / ~5 min and its failure is NOT
+    fatal (round 3: backend init took >600 s once, then succeeded);
+  * a GS_BENCH_DEADLINE wall clock (default 1500 s) bounds the whole run —
+    configs that don't fit are skipped with an error field, and the final
+    summary always prints before the deadline;
+  * the compile cache lives in the repo (.jax_cache/), so hardware runs
+    during the build warm the exact cache the driver's bench run reads.
 """
 
 import argparse
 import json
 import os
+import queue as queue_mod
 import subprocess
 import sys
+import threading
 import time
 import traceback
 
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
+_T0 = time.time()
+_DEADLINE = float(os.environ.get("GS_BENCH_DEADLINE", "1500"))
+
 # Persistent compile cache: first-run compiles on this platform go through a
 # slow remote helper; cached reruns are instant. Children share the cache.
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_gs3d")
+# Repo-local (gitignored) so it survives /tmp wipes between the build
+# session and the driver's capture run on the same checkout.
+_CACHE_DIR = os.environ.get("JAX_COMPILATION_CACHE_DIR") or os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), ".jax_cache"
+)
+jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 # Ambient plugin shims ignore the JAX_PLATFORMS env var; mirror it through
 # the config API so `JAX_PLATFORMS=cpu python bench.py --quick` works even
@@ -43,6 +69,19 @@ if os.environ.get("JAX_PLATFORMS"):
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
+
+
+def _remaining():
+    """Seconds left on the GS_BENCH_DEADLINE wall clock."""
+    return _DEADLINE - (time.time() - _T0)
+
+
+def emit_partial(results):
+    """Child mode: stream a measurement upward the moment it exists so the
+    parent can fold it into the cumulative summary line (a window kill
+    mid-child then loses only the unfinished measurement, not the run)."""
+    print(json.dumps({"partial": {k: round(v, 4) for k, v in results.items()}}),
+          flush=True)
 
 
 def build(n, w, h, sh_degree, display_mode, tile=32, max_dup=4, seed=0):
@@ -349,6 +388,7 @@ def bench_config1(results, n=6_000_000, breakdown=False):
     results["config1_6m_1080p_fps"] = 1.0 / dt
     log(f"config1 ({n} splat 1080p SH3, tile=32 dup=4 default): "
         f"{dt*1000:.2f} ms = {1/dt:.1f} fps")
+    emit_partial(results)  # headline secured before the dup8 quality row
     if breakdown:
         bench_breakdown(comp, pod, view, proj, cfg)
         return
@@ -400,153 +440,207 @@ def run_single(args):
     except BaseException as e:  # noqa: BLE001 — children report, never crash
         traceback.print_exc(file=sys.stderr)
         out = {"ok": False, "error": f"{type(e).__name__}: {e}",
-               "results": out.get("results", {})}
+               "results": out.get("results", {}),
+               "backend": out.get("backend", "unknown")}
     print(json.dumps(out), flush=True)
 
 
-def _run_child(config, timeout, extra=(), retries=1):
-    """Run one config in a child process; one retry in a fresh process
-    (fresh process = full TPU backend re-init). Returns the child's JSON
-    dict, or {"ok": False, "error": ...} if every attempt failed."""
+def _run_child_once(config, timeout, extra=(), on_partial=None):
+    """Run one config child, STREAMING its stdout lines: {"partial": ...}
+    lines are folded upward immediately via on_partial (so the parent can
+    re-emit the cumulative summary while the child is still running); the
+    final line is the child's result dict. On timeout/crash, whatever
+    partial results arrived are salvaged into the error dict."""
     cmd = [sys.executable, os.path.abspath(__file__), "--config", config, *extra]
-    last = {"ok": False, "error": "not run"}
+    try:
+        p = subprocess.Popen(cmd, stdout=subprocess.PIPE, stderr=None)
+    except Exception as e:  # noqa: BLE001
+        return {"ok": False, "error": f"{type(e).__name__}: {e}", "results": {}}
+    q = queue_mod.Queue()
+
+    def reader():
+        for raw in p.stdout:
+            q.put(raw)
+        q.put(None)
+
+    threading.Thread(target=reader, daemon=True).start()
+    t_end = time.time() + timeout
+    partial = {}
+    last_obj = None
+    while True:
+        try:
+            raw = q.get(timeout=min(5.0, max(0.1, t_end - time.time())))
+        except queue_mod.Empty:
+            if time.time() >= t_end:
+                p.kill()
+                return {"ok": False, "error": f"timeout after {int(timeout)}s",
+                        "results": partial}
+            continue
+        if raw is None:
+            break
+        line = raw.decode(errors="replace").strip()
+        if not line:
+            continue
+        try:
+            obj = json.loads(line)
+        except ValueError:
+            continue
+        last_obj = obj
+        if "partial" in obj:
+            partial = obj["partial"]
+            if on_partial:
+                on_partial(partial)
+    p.wait()
+    if last_obj is None or "partial" in last_obj:
+        return {"ok": False, "error": f"no final output (rc={p.returncode})",
+                "results": partial}
+    return last_obj
+
+
+def _run_child(config, timeout, extra=(), retries=1, on_partial=None):
+    """One fresh-process retry (= full TPU backend re-init) on failure,
+    bounded by the bench deadline."""
+    last = {"ok": False, "error": "not run", "results": {}}
     for attempt in range(retries + 1):
         if attempt:
+            if _remaining() < timeout * 0.5:
+                log(f"config {config}: skipping retry (deadline)")
+                break
             log(f"config {config}: retrying in a fresh process")
-        try:
-            p = subprocess.run(
-                cmd, stdout=subprocess.PIPE, stderr=None, timeout=timeout
-            )
-            line = p.stdout.decode().strip().splitlines()
-            last = json.loads(line[-1]) if line else {
-                "ok": False, "error": f"no output (rc={p.returncode})"
-            }
-        except subprocess.TimeoutExpired:
-            last = {"ok": False, "error": f"timeout after {timeout}s"}
-        except Exception as e:  # noqa: BLE001
-            last = {"ok": False, "error": f"{type(e).__name__}: {e}"}
+        t = min(timeout, max(60.0, _remaining() - 45.0))
+        last = _run_child_once(config, t, extra=extra, on_partial=on_partial)
         if last.get("ok"):
             return last
         log(f"config {config} attempt {attempt + 1} failed: {last.get('error')}")
     return last
 
 
-def _probe_with_backoff(passthrough):
-    """Probe the device with retries SPREAD over a window instead of two
-    back-to-back 600 s attempts (round-2 postmortem: the tunnel was down at
-    capture time and returned later — a spread capture would have caught
-    it). Sleep schedule between attempts: 60, 120, 300, 600, 900 s
-    (~35 min window); override the attempt timeout / schedule via
-    GS_BENCH_PROBE_TIMEOUT / GS_BENCH_PROBE_SLEEPS (comma ints)."""
-    timeout = int(os.environ.get("GS_BENCH_PROBE_TIMEOUT", "600"))
-    sleeps_env = os.environ.get("GS_BENCH_PROBE_SLEEPS", "60,120,300,600,900")
-    sleeps = [int(s) for s in sleeps_env.split(",") if s.strip()]
-    probe = _run_child("probe", timeout, extra=passthrough, retries=0)
-    for i, s in enumerate(sleeps):
-        if probe.get("ok"):
-            return probe
-        log(f"probe attempt {i + 1} failed ({probe.get('error')}); "
-            f"retrying in {s}s")
-        time.sleep(s)
-        probe = _run_child("probe", timeout, extra=passthrough, retries=0)
+def _probe(passthrough):
+    """Bounded device probe: 2 attempts, ~5 min total. NON-FATAL — round-3
+    postmortem: the first backend init on a cold tunnel can exceed any sane
+    probe timeout and then succeed, so a failed probe downgrades to a
+    warning and the headline config still gets its shot (children do their
+    own full backend init anyway)."""
+    timeout = int(os.environ.get("GS_BENCH_PROBE_TIMEOUT", "140"))
+    sleep = int(os.environ.get("GS_BENCH_PROBE_SLEEP", "20"))
+    probe = _run_child_once("probe", timeout, extra=passthrough)
+    if not probe.get("ok"):
+        log(f"probe attempt 1 failed ({probe.get('error')}); retrying in {sleep}s")
+        time.sleep(sleep)
+        probe = _run_child_once("probe", timeout, extra=passthrough)
     return probe
 
 
 def orchestrate(args):
-    """Parent mode: never touches the device. Runs each config in a child
-    with a timeout + one fresh-process retry, then ALWAYS prints the
-    summary line (failures become per-config error fields). The probe
-    retries with backoff across the bench window, and any configs that
-    failed get ONE more fresh attempt at the end of the window if a final
-    re-probe shows the device came back."""
+    """Parent mode: never touches the device. Runs the HEADLINE config
+    first, then 0/2/3/4, each in a child with a deadline-capped timeout +
+    one fresh-process retry, and re-prints the cumulative summary line
+    after every config (and every streamed partial) so the last stdout
+    line is always the best summary so far."""
     results = {}
     errors = {}
     passthrough = []
     if args.inject_fail:
         passthrough += ["--inject-fail", args.inject_fail]
 
-    probe = _probe_with_backoff(passthrough)
-    backend = probe.get("backend", "unknown")
-    log(f"probe: backend={backend} ok={probe.get('ok')}")
-    if not probe.get("ok"):
-        errors["probe"] = probe.get("error", "?")
+    cpu_mode = {"on": False}
 
-    if not probe.get("ok") and backend == "unknown":
-        # No backend at all (e.g. device tunnel down): every config child
-        # would hang through its full timeout on backend init. Emit the
-        # summary immediately — errors recorded, rc 0 — instead of burning
-        # hours to report the same nothing.
-        print(json.dumps({
-            "metric": "fps_1080p_6m_splats",
-            "value": 0.0,
-            "unit": "fps",
-            "vs_baseline": 0.0,
-            "errors": errors,
-        }), flush=True)
-        return
-
-    if backend != "tpu":
-        r = _run_child("0", 900, extra=passthrough)
-        results.update(r.get("results", {}))
-        if not r.get("ok"):
-            errors["config0"] = r.get("error", "?")
-        fps = results.get("config0_50k_point_fps", 0.0)
-        summary = {
-            "metric": "fps_800x608_50k_splats_point",
-            "value": round(fps, 2),
-            "unit": "fps",
-            "vs_baseline": round(fps / 60.0, 3),
-        }
+    def emit():
+        if cpu_mode["on"]:
+            fps = results.get("config0_50k_point_fps", 0.0)
+            summary = {
+                "metric": "fps_800x608_50k_splats_point",
+                "value": round(fps, 2),
+                "unit": "fps",
+                "vs_baseline": round(fps / 60.0, 3),
+            }
+        else:
+            fps = results.get("config1_6m_1080p_fps", 0.0)
+            summary = {
+                "metric": "fps_1080p_6m_splats",
+                "value": round(fps, 2),
+                "unit": "fps",
+                "vs_baseline": round(fps / 60.0, 3),
+                "configs": {k: round(v, 2) for k, v in results.items()},
+            }
         if errors:
             summary["errors"] = errors
         print(json.dumps(summary), flush=True)
+
+    def on_partial(partial):
+        results.update(partial)
+        emit()
+
+    probe = _probe(passthrough)
+    backend = probe.get("backend", "unknown")
+    log(f"probe: backend={backend} ok={probe.get('ok')} "
+        f"(deadline {_DEADLINE:.0f}s, {_remaining():.0f}s left)")
+    if not probe.get("ok"):
+        errors["probe"] = probe.get("error", "?")
+
+    if probe.get("ok") and backend != "tpu":
+        # CPU/other backend: the 6M headline would take hours — measure the
+        # CPU-runnable BASELINE config 0 instead (CI / tunnel-down runs).
+        cpu_mode["on"] = True
+        r = _run_child("0", min(900, max(60, _remaining() - 45)),
+                       extra=passthrough)
+        results.update(r.get("results", {}))
+        if not r.get("ok"):
+            errors["config0"] = r.get("error", "?")
+        emit()
         return
 
-    plan = [("0", 900), ("1", 1800)]
+    # TPU — or unknown (probe failed): proceed optimistically; the headline
+    # child performs its own backend init and reports what it found.
+    plan = [("1", 1500), ("0", 600)]
     if args.breakdown:
         # Per-stage diagnostic of the headline config only.
-        plan = [("1", 1800)]
-    elif not args.headline_only:
-        plan += [("2", 1500), ("3", 1500), ("4", 1500)]
+        plan = [("1", 1500)]
+    elif args.headline_only:
+        pass
+    else:
+        plan = plan + [("2", 900), ("3", 900), ("4", 900)]
 
-    def run_plan(plan_items):
+    def run_plan(plan_items, retries=1):
         failed = []
-        for config, timeout in plan_items:
+        for config, budget in plan_items:
+            if _remaining() < 120:
+                errors[f"config{config}"] = "skipped: bench deadline"
+                failed.append((config, budget))
+                continue
             extra = list(passthrough)
             if config == "1":
                 if args.splats:
                     extra += ["--splats", str(args.splats)]
                 if args.breakdown:
                     extra += ["--breakdown"]
-            r = _run_child(config, timeout, extra=extra)
+            r = _run_child(config, budget, extra=extra, retries=retries,
+                           on_partial=on_partial if config == "1" else None)
             results.update(r.get("results", {}))
             if not r.get("ok"):
                 errors[f"config{config}"] = r.get("error", "?")
-                failed.append((config, timeout))
+                failed.append((config, budget))
+                if config == "1" and r.get("backend", backend) == "unknown" \
+                        and not results:
+                    # No backend ever materialized: later configs would all
+                    # burn their timeouts on the same dead init. Stop here.
+                    log("no backend reachable; aborting remaining configs")
+                    break
             else:
                 errors.pop(f"config{config}", None)
+            emit()
         return failed
 
     failed = run_plan(plan)
-    if failed:
+    if failed and _remaining() > 240:
         # End-of-window recovery: if the device is back, the failures were
         # transient (tunnel blip) — rerun just those configs once.
         log(f"{len(failed)} config(s) failed; re-probing before final retry")
-        reprobe = _run_child("probe", 600, extra=passthrough, retries=0)
+        reprobe = _run_child_once("probe", 120, extra=passthrough)
         if reprobe.get("ok"):
-            run_plan(failed)
+            run_plan(failed, retries=0)
 
-    fps = results.get("config1_6m_1080p_fps", 0.0)
-    summary = {
-        "metric": "fps_1080p_6m_splats",
-        "value": round(fps, 2),
-        "unit": "fps",
-        "vs_baseline": round(fps / 60.0, 3),
-        "configs": {k: round(v, 2) for k, v in results.items()},
-    }
-    if errors:
-        summary["errors"] = errors
-    print(json.dumps(summary), flush=True)
+    emit()
 
 
 def main():

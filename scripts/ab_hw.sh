@@ -8,7 +8,9 @@
 set -u
 cd "$(dirname "$0")/.."
 SPLATS="${1:-6000000}"
-OUT="${AB_OUT:-/tmp/ab_hw_$(date +%H%M%S).log}"
+# Sweep rows are hardware evidence — keep them in-repo (VERDICT r3 item 3)
+OUT="${AB_OUT:-hwruns/$(date +%Y%m%d)/ab_hw_$(date +%H%M%S).log}"
+mkdir -p "$(dirname "$OUT")"
 echo "sweep log: $OUT"
 
 run() {

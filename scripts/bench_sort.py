@@ -31,7 +31,7 @@ if os.environ.get("JAX_PLATFORMS"):
 
 # Persistent compile cache (shared with bench.py): --levels compiles ~10
 # full merge_sort variants; uncached that is most of the wall time.
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_gs3d")
+jax.config.update("jax_compilation_cache_dir", os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import jax.numpy as jnp

@@ -38,7 +38,13 @@ if not _TPU_RUN:
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_gs3d_cpu")
 else:
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_gs3d")
+    # TPU runs share the repo-local cache with bench.py so hardware
+    # validation passes pre-warm the driver's bench capture.
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     ".jax_cache"),
+    )
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 

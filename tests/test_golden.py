@@ -9,6 +9,7 @@ import os
 import sys
 
 import numpy as np
+import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, os.path.join(REPO, "scripts"))
@@ -30,3 +31,26 @@ def test_golden_image_matches(tmp_path):
     assert d.mean() < 1.0, f"golden drift: mean {d.mean():.3f} u8"
     assert d.max() <= 48, f"golden drift: max {d.max()} u8"
     assert (d > 8).mean() < 0.005, f"golden drift: {100 * (d > 8).mean():.2f}% pixels off"
+
+
+@pytest.mark.tpu
+def test_golden_image_matches_tpu(tmp_path):
+    """On-chip golden gate (VERDICT r3 item 6): the compiled TPU kernel
+    path must reproduce the committed hardware artifact with TIGHT
+    tolerances — same chip + same kernels render deterministically, so any
+    measurable drift is a real image-formation change. Regenerate
+    intentionally from hardware: `python scripts/gen_golden.py --update
+    --backend-tpu` (scripts/hw_validate.sh runs the comparison)."""
+    import gen_golden
+
+    if not os.path.exists(gen_golden.GOLDEN_TPU):
+        pytest.skip("TPU golden not generated yet (run gen_golden.py "
+                    "--update --backend-tpu on hardware)")
+    out = str(tmp_path / "render_tpu.png")
+    gen_golden.render_golden(out, backend="tpu")
+    img = gen_golden.load_png(out)
+    gold = gen_golden.load_png(gen_golden.GOLDEN_TPU)
+    assert img.shape == gold.shape
+    d = np.abs(img - gold)
+    assert d.mean() < 0.05, f"TPU golden drift: mean {d.mean():.3f} u8"
+    assert d.max() <= 4, f"TPU golden drift: max {d.max()} u8"

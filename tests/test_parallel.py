@@ -119,6 +119,14 @@ def test_sharded_overflow_counter_zero_at_default_capacity():
                                 sh_degree=0, use_pallas=False,
                                 return_stats=True)
     assert stats["overflow"] == 0
+    # The same counter is observable in the UI: last_stats() feeds the app
+    # server's /state "parallel" section (VERDICT r3 item 8).
+    from wgpu_3dgs_viewer_app_tpu.parallel.render_sharded import last_stats
+
+    assert last_stats() == {"overflow": 0, "n_devices": 4}
+    from wgpu_3dgs_viewer_app_tpu.app.server import _sharded_stats
+
+    assert _sharded_stats() == {"overflow": 0, "n_devices": 4}
 
 
 def test_sharded_multi_model_matches_single_device_merged():

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import argparse
 import math
+import os
 import sys
 
 import numpy as np
@@ -148,9 +149,21 @@ def main(argv=None) -> int:
     s.set_defaults(fn=cmd_serve)
 
     args = ap.parse_args(argv)
-    if args.platform != "auto":
-        import jax
+    import jax
 
+    # Persistent compile cache (repo-local, shared with bench.py and the
+    # TPU test suite): without it every CLI invocation pays the full
+    # multi-minute Mosaic compile chain on the tunnel backend. Opt out /
+    # redirect with JAX_COMPILATION_CACHE_DIR.
+    try:
+        cache = os.environ.get("JAX_COMPILATION_CACHE_DIR") or os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__)))), ".jax_cache")
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # already-initialized in-process callers
+        pass
+    if args.platform != "auto":
         try:
             jax.config.update("jax_platforms", args.platform)
         except Exception as e:

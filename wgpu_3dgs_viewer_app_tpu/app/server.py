@@ -51,6 +51,18 @@ _LOG = get_logger("server")
 ASSETS = Path(__file__).parent / "assets"
 
 
+def _sharded_stats() -> dict | None:
+    """Routing stats of the most recent sharded render, or None when the
+    session is single-device (the common case). Lazy import: the parallel
+    module builds jit machinery the single-chip server never needs."""
+    import sys
+
+    mod = sys.modules.get("wgpu_3dgs_viewer_app_tpu.parallel.render_sharded")
+    if mod is None:
+        return None
+    return mod.last_stats()
+
+
 def _compression_field_sizes() -> dict:
     """Per-field byte sizes for every compression option — the data behind
     the picker's live size readout (ref `src/tab/scene.rs:897-1006`)."""
@@ -340,6 +352,12 @@ class ViewerServer:
                         for p in s.measurement.hit_pairs
                     ],
                 },
+                # Multi-device routing observability (VERDICT r3): when a
+                # sharded render has run in this process, report its slab
+                # routing overflow — nonzero means the scene's slab skew
+                # exceeded capacity_factor and far entries were dropped
+                # (parallel/render_sharded.py).
+                "parallel": _sharded_stats(),
                 "compressions": {
                     "sh": s.compressions.sh.value,
                     "cov3d": s.compressions.cov3d.value,

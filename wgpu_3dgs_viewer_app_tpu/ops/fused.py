@@ -359,7 +359,10 @@ def _kernel(
         jnp.concatenate([p2s] * cfg.max_dup, axis=0),
         jnp.concatenate([p3s] * cfg.max_dup, axis=0),
     ]
-    layout = "mixed" if SORT_BLOCK_ROWS == SORT_LANES else "row"
+    # Same layout condition as the standalone _block_sort_kernel
+    # (sort.py): mixed whenever the block is a whole number of 128-row
+    # subtiles (advisor r3: the two sites had drifted apart).
+    layout = "mixed" if SORT_BLOCK_ROWS % SORT_LANES == 0 else "row"
     ops = _block_sort_body(ops, rows, SORT_BLOCK_ROWS, layout=layout)
     keys_ref[...] = _from_ord(ops[0])
     p1_ref[...], p2_ref[...], p3_ref[...] = ops[1:]
@@ -630,7 +633,7 @@ def build_sorted_entries_fused(
     import jax as _jax
 
     from .binning import ROW as _ROW
-    from .sort import BLOCK, merge_presorted
+    from .sort import BLOCK, BLOCK_ROWS as SORT_BLOCK_ROWS, merge_presorted
 
     rows_total = pod["pos"].shape[-2]
     d = cfg.max_dup
@@ -647,8 +650,12 @@ def build_sorted_entries_fused(
         and _jax.default_backend() == "tpu"
         and e >= 1_000_000
         and e % BLOCK == 0
-        and (rb * d) % 128 == 0
-        and ((rb * d) // 128) % 2 == 0
+        # Each grid step must emit an EVEN count of whole sort blocks —
+        # the same condition enumerate_entries_fused asserts. Gate on the
+        # live BLOCK_ROWS, not a hardcoded 128 (advisor r3: with
+        # GS_SORT_BLOCK_ROWS=256 and max_dup=2 the old 128-based gate
+        # passed while the assert fired at trace time).
+        and (rb * d) % (2 * SORT_BLOCK_ROWS) == 0
     )
     # Default OFF since the lane-major block sort: the standalone phase-1
     # kernel now runs small strides on sublane rolls (30.8 -> 17.5 ms at

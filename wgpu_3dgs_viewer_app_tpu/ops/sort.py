@@ -55,9 +55,10 @@ SENTINEL = 0xFFFFFFFF  # python int: jnp scalars cannot be captured by kernels
 # blocks trade phase-1 stages for one fewer merge level. Hardware sweep
 # (scripts/ab_hw.sh, 2026-08-19, post-mixed-layout, headline config 1):
 # block_rows 128: 62.8 ms e2e / sort 43.1; 256: 59.4 / 39.3; 512: 59.3 /
-# 39.6 — 256 wins (512 ties but costs 2x phase-1 VMEM). Note 256-row
-# blocks use the row-major stage layout, not the 128-row mixed layout,
-# and still win: one fewer merge level beats the cheaper rolls.
+# 39.6 — 256 wins (512 ties but costs 2x phase-1 VMEM). 256-row blocks run
+# the same mixed (sublane-roll) stage layout as 128 — _block_sort_kernel
+# selects mixed for any whole number of 128-row subtiles — plus subtile
+# direction bits on rows 7+; the win is one fewer merge level.
 # Env override is a BENCH TUNING KNOB for A/B on hardware (read at import;
 # all callers derive from BLOCK, so the pipeline stays self-consistent).
 import os as _os  # noqa: E402
@@ -258,8 +259,9 @@ def _transpose_tiles(x, block_rows: int):
     return jnp.swapaxes(x3, 1, 2).reshape(rows, LANES)
 
 
-# Rows per grid cell: 8 tiles of BLOCK_ROWS so stage ops are 64 vregs
-# (in+out double-buffered cells at 1024 rows overflow the 16 MB VMEM stack).
+# Rows per grid cell (CELL_ROWS / BLOCK_ROWS tiles per cell — 2 at the
+# default 256-row blocks): 512 rows keep stage ops at 64 vregs; in+out
+# double-buffered cells at 1024 rows overflow the 16 MB VMEM stack.
 CELL_ROWS = 512
 
 
@@ -456,23 +458,38 @@ def _ragged_level_meta(keys, starts_rows, stored, live, ncells: int,
         hi = jnp.minimum(r, sap2)
 
         def body(_, lohi):
+            """4-ary narrowing (hw-measured 2026-08-19: a batched probe
+            round is LATENCY-bound at ~40 us regardless of gather width,
+            so 3 candidates per round cost the same as 1 and HALVE the
+            serial round count — the split search was ~25% of the merge
+            phase). The probe predicate is monotone non-increasing in m:
+            for asc cells va = A[m] rises while vb walks B's tail upward
+            (B is stored DESCENDING — pair runs alternate direction), so
+            vb falls; the desc case mirrors both."""
             lo, hi = lohi
             alive = lo < hi
-            m = (lo + hi) // 2
-            ia = jnp.where(asc2, a_bp2 + m, a_bp2 + sap2 - 1 - m)
-            ib = jnp.where(asc2, b_bp2 + sbp2 - (r - m), b_bp2 + (r - m) - 1)
-            va = keys[jnp.clip(ia, 0, e_alloc - 1)]
+            w = hi - lo
+            m3 = jnp.stack([lo + (w * j) // 4 for j in (1, 2, 3)])  # (3, Q)
+            ia = jnp.where(asc2, a_bp2 + m3, a_bp2 + sap2 - 1 - m3)
+            ib = jnp.where(asc2, b_bp2 + sbp2 - (r - m3), b_bp2 + (r - m3) - 1)
+            va = keys[jnp.clip(ia, 0, e_alloc - 1)]  # ONE (3, Q) gather
             vb = keys[jnp.clip(ib, 0, e_alloc - 1)]
             take = jnp.where(asc2, va <= vb, va >= vb)
-            new_lo = jnp.where(alive & take, m + 1, lo)
-            new_hi = jnp.where(alive & ~take, m, hi)
+            new_lo, new_hi = lo, hi
+            # Monotone takes: the largest true m advances lo, the smallest
+            # false m caps hi.
+            for j in range(3):
+                new_lo = jnp.where(take[j], m3[j] + 1, new_lo)
+                new_hi = jnp.where(take[j], new_hi, jnp.minimum(new_hi, m3[j]))
+            new_lo = jnp.where(alive, new_lo, lo)
+            new_hi = jnp.where(alive, new_hi, hi)
             return new_lo, new_hi
 
-        # The interval [lo, hi] starts no wider than the smaller run, so
-        # log2(max run size) + 1 halvings close it (early levels need far
-        # fewer than the worst-case 25; the probes are serial HBM gathers,
-        # so trimming iterations trims real per-level latency).
-        lo, hi = jax.lax.fori_loop(0, n_iters, body, (lo, hi))
+        # The interval [lo, hi] starts no wider than the smaller run
+        # (< 2^n_iters); each 4-ary round divides the width by ~4 (+1 for
+        # rounding), so ceil(n_iters/2) + 2 rounds close it.
+        rounds = (n_iters + 1) // 2 + 2
+        lo, hi = jax.lax.fori_loop(0, rounds, body, (lo, hi))
         return lo
 
     a01 = split(jnp.concatenate([r0c, r1c]))
@@ -841,6 +858,21 @@ def _merge_phase(planes, counts, interpret: bool = False,
             planes[2].reshape(-1), planes[3].reshape(-1))
 
 
+def _pad_to_block(keys, p1, p2, p3):
+    """Pad entry planes to a BLOCK multiple with sentinel-key slots so the
+    Pallas merge sort stays eligible for every large size (advisor r3:
+    doubling BLOCK_ROWS silently dropped 16384-but-not-32768-multiple
+    entry counts onto the ~3x slower lax.sort path). A sentinel tail is
+    already the sort's output contract — callers read the live prefix."""
+    pad = (-keys.shape[0]) % BLOCK
+    if pad == 0:
+        return keys, p1, p2, p3
+    ktail = jnp.full((pad,), SENTINEL, jnp.uint32)
+    ztail = jnp.zeros((pad,), jnp.uint32)
+    return (jnp.concatenate([keys, ktail]), jnp.concatenate([p1, ztail]),
+            jnp.concatenate([p2, ztail]), jnp.concatenate([p3, ztail]))
+
+
 def sort_entries_interleaved(keys, p1, p2, p3, impl: str = "auto"):
     """Sort + direct interleave: returns (flat_keys, (R, 4, 128) planes) on
     the Pallas path, or (flat_keys, None, p1, p2, p3) sorted-tuple form when
@@ -849,7 +881,8 @@ def sort_entries_interleaved(keys, p1, p2, p3, impl: str = "auto"):
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
         if keys.shape[0] < 1_000_000:
             impl = "xla"
-    if impl in ("pallas", "interpret") and keys.shape[0] % BLOCK == 0:
+    if impl in ("pallas", "interpret"):
+        keys, p1, p2, p3 = _pad_to_block(keys, p1, p2, p3)
         out = merge_sort(keys, p1, p2, p3, interpret=impl == "interpret",
                          interleaved=True)
         if len(out) == 2:
@@ -872,8 +905,7 @@ def sort_entries(keys, p1, p2, p3, impl: str = "auto"):
         # pipeline's per-level overheads (~1 ms at E=205k vs ~3.5 ms).
         if keys.shape[0] < 1_000_000:
             impl = "xla"
-    if impl == "pallas" and keys.shape[0] % BLOCK == 0:
-        return merge_sort(keys, p1, p2, p3)
-    if impl == "interpret" and keys.shape[0] % BLOCK == 0:
-        return merge_sort(keys, p1, p2, p3, interpret=True)
+    if impl in ("pallas", "interpret"):
+        keys, p1, p2, p3 = _pad_to_block(keys, p1, p2, p3)
+        return merge_sort(keys, p1, p2, p3, interpret=impl == "interpret")
     return jax.lax.sort((keys, p1, p2, p3), num_keys=1, is_stable=False)

@@ -56,6 +56,22 @@ from ..ops.preprocess import preprocess
 # ops that coerce it with an explicit dtype.
 SENTINEL = 0xFFFFFFFF
 
+# Last sharded render's routing stats, for UI observability (the app
+# server's /state payload reports it — a skewed scene whose slab routing
+# overflowed capacity_factor is otherwise silent). The overflow value is
+# kept as the DEVICE array to avoid a host sync on the render path;
+# `last_stats()` materializes it on demand.
+_LAST = {"overflow": None, "n_devices": 0}
+
+
+def last_stats() -> dict | None:
+    """{"overflow": int, "n_devices": int} of the most recent sharded
+    render in this process, or None if none has run."""
+    if _LAST["overflow"] is None:
+        return None
+    return {"overflow": int(jnp.max(_LAST["overflow"])),
+            "n_devices": _LAST["n_devices"]}
+
 
 def make_mesh(devices=None, axis: str = "splats") -> Mesh:
     devices = devices if devices is not None else jax.devices()
@@ -456,6 +472,8 @@ def render_sharded(
         ragged=ragged,
     )
     img = img[: cfg.height]
+    _LAST["overflow"] = overflow
+    _LAST["n_devices"] = mesh.devices.size
     if return_stats:
         return img, {"overflow": int(overflow.max())}
     return img
