@@ -28,12 +28,11 @@ run() {
 }
 
 run baseline            env
-run block_rows=256      env GS_SORT_BLOCK_ROWS=256
+run nofuse              env GS_SORT_FUSE_L1=0
+run block128             env GS_SORT_BLOCK_ROWS=128
+run block128_nofuse      env GS_SORT_BLOCK_ROWS=128 GS_SORT_FUSE_L1=0
 run block_rows=512      env GS_SORT_BLOCK_ROWS=512
 run chunk_rows=128      env GS_MERGE_CHUNK_ROWS=128
-run chunk_rows=512      env GS_MERGE_CHUNK_ROWS=512
+run chunk_rows=256      env GS_MERGE_CHUNK_ROWS=256
 run comp_rowmajor       env GS_COMPOSITE_TRANSPOSED=0
-run block256_chunk128   env GS_SORT_BLOCK_ROWS=256 GS_MERGE_CHUNK_ROWS=128
-run block256_chunk512   env GS_SORT_BLOCK_ROWS=256 GS_MERGE_CHUNK_ROWS=512
-run block512_chunk512   env GS_SORT_BLOCK_ROWS=512 GS_MERGE_CHUNK_ROWS=512
 echo "=== sweep complete; winners -> PERF_NOTES.md" | tee -a "$OUT"

@@ -44,14 +44,23 @@ def _check(k, p1, p2, p3, ks, s1, s2, s3):
 
 @pytest.mark.parametrize("frac", [0.0, 0.44])
 def test_block_sort_interpret(frac):
-    k, p1, p2, p3 = _mk(2 * BLOCK, frac, 1 << 20)
+    """Phase-1 contract: runs of `_plan_block_sort(e)` granularity
+    (cell-sized when the in-cell merge fusion applies), alternating
+    asc/desc by run parity, payloads travelling with their key."""
+    from wgpu_3dgs_viewer_app_tpu.ops.sort import LANES, _plan_block_sort
+
+    e = 4 * BLOCK
+    k, p1, p2, p3 = _mk(e, frac, 1 << 20)
     ks, s1, s2, s3 = block_sort(*(jnp.asarray(a) for a in (k, p1, p2, p3)),
                                 interpret=True)[:4]
     ks, s1 = np.asarray(ks).ravel(), np.asarray(s1).ravel()
-    for b, sign in ((0, 1), (1, -1)):  # blocks alternate asc / desc
-        sl = slice(b * BLOCK, (b + 1) * BLOCK)
+    run = _plan_block_sort(e)[2] * LANES
+    assert ks.shape[0] % run == 0
+    for r in range(e // run):
+        sign = 1 if r % 2 == 0 else -1  # runs alternate asc / desc
+        sl = slice(r * run, (r + 1) * run)
         want = np.sort(k[sl])[::sign]
-        assert np.array_equal(want, ks[sl]), f"block {b} order wrong"
+        assert np.array_equal(want, ks[sl]), f"run {r} order wrong"
         pairs_w = sorted(zip(k[sl].tolist(), p1[sl].tolist()))
         pairs_g = sorted(zip(ks[sl].tolist(), s1[sl].tolist()))
         assert pairs_w == pairs_g
@@ -101,16 +110,21 @@ def test_merge_sort_interpret(e, frac, span):
 
 def test_merge_sort_max_levels_truncation():
     """max_levels (bench instrumentation) runs a PREFIX of the level loop:
-    after 1 of the 2 levels at 4 blocks, run 0 = blocks 0+1 merged; the
+    after 1 of the 2 levels at 4 phase-1 runs, run 0 = runs 0+1 merged; the
     post-loop sentinel restore keeps only run 0, so its live prefix must be
-    the sorted union of blocks 0-1's live keys."""
-    e = 4 * BLOCK
+    the sorted union of runs 0-1's live keys. Geometry derives from
+    `_plan_block_sort` so the test tracks the fused-cell run size."""
+    from wgpu_3dgs_viewer_app_tpu.ops.sort import LANES, _plan_block_sort
+
+    e = 16 * BLOCK
+    run = _plan_block_sort(e)[2] * LANES
+    assert e // run >= 4, (e, run)  # needs >= 2 levels for a true prefix
     k, p1, p2, p3 = _mk(e, 0.4, 1 << 24)
     ks = np.asarray(
         merge_sort(*(jnp.asarray(a) for a in (k, p1, p2, p3)),
                    interpret=True, max_levels=1)[0]
     ).ravel()
-    first_pair = k[: 2 * BLOCK]
+    first_pair = k[: 2 * run]
     live = np.sort(first_pair[first_pair != SENT])
     assert np.array_equal(ks[: live.shape[0]], live)
     assert np.all(ks[live.shape[0]:] == SENT)
@@ -127,8 +141,14 @@ def test_merge_sort_all_sentinel():
 
 def test_merge_sort_interleaved_interpret():
     """interleaved=True must return (flat_keys, (R, 4, 128)) with plane 0
-    duplicating the keys and payloads travelling with their key."""
-    e = 4 * BLOCK
+    duplicating the keys and payloads travelling with their key. The
+    interleave happens in the LAST merge level, so e must leave >= 2
+    phase-1 runs (a single fused cell sorts fully in phase 1 and returns
+    the plain 4-tuple — callers handle both shapes)."""
+    from wgpu_3dgs_viewer_app_tpu.ops.sort import LANES, _plan_block_sort
+
+    e = 8 * BLOCK
+    assert e // (_plan_block_sort(e)[2] * LANES) >= 2, e
     k, p1, p2, p3 = _mk(e, 0.4, 1 << 20, seed=5)
     out = merge_sort(*(jnp.asarray(a) for a in (k, p1, p2, p3)),
                      interpret=True, interleaved=True)

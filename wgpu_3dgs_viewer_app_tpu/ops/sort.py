@@ -264,10 +264,54 @@ def _transpose_tiles(x, block_rows: int):
 # double-buffered cells at 1024 rows overflow the 16 MB VMEM stack.
 CELL_ROWS = 512
 
+# Fuse the first merge level(s) into the phase-1 kernel: the grid cell
+# already holds CELL_ROWS/BLOCK_ROWS sorted blocks in VMEM, so merging
+# them there costs only the bitonic merge stages (~17 per pass at 512-row
+# cells) and deletes the first merge level's ENTIRE round trip — HBM
+# write+read of all E slots (~44% of them sentinel slack at the 6M bench:
+# the first level is the only one that predates live compaction), the
+# split search, and the per-cell piece-DMA machinery. Equivalently: the
+# round-3 sweep's 512-row-BLOCK config paid the full 153-stage network per
+# block and tied 256; this pays 120 + 17 for the same output geometry.
+# Knob is a bench A/B escape hatch.
+FUSE_L1 = _os.environ.get("GS_SORT_FUSE_L1", "1") not in ("0", "false")
+
+
+def _fused_merge_passes(ops, rows: int, block_rows: int, final_dir_up,
+                        lane_iota, row_iota):
+    """Bitonic merge passes fusing the cell's `rows/block_rows` sorted
+    (alternating asc/desc) tiles into ONE sorted run, in the mixed layout
+    (strides >= LANES row-major, < LANES per-subtile lane-major — one
+    transpose pair per pass). The last pass sorts the whole cell in
+    `final_dir_up`'s direction (grid parity — the cell-size index bit is
+    not addressable as a row bit)."""
+    mixed = rows % LANES == 0  # per-subtile transposes need square tiles
+    size = 2 * block_rows * LANES
+    n_out = rows * LANES
+    while size <= n_out:
+        if size == n_out:
+            dm_row = dm_lane = jnp.broadcast_to(final_dir_up, (rows, LANES))
+        else:
+            dm_row = _dir_up_mask(size, lane_iota, row_iota, False)
+            dm_lane = _dir_up_mask(size, lane_iota, row_iota, True)
+        j = size // 2
+        while j >= (LANES if mixed else 1):
+            ops = _compare_exchange(ops, j, dm_row, lane_iota, row_iota, False)
+            j //= 2
+        if mixed:
+            ops = [_transpose_tiles(o, LANES) for o in ops]
+            while j >= 1:
+                ops = _compare_exchange(ops, j, dm_lane, lane_iota, row_iota,
+                                        True)
+                j //= 2
+            ops = [_transpose_tiles(o, LANES) for o in ops]
+        size *= 2
+    return ops
+
 
 def _block_sort_kernel(k_ref, p1_ref, p2_ref, p3_ref,
                        ko_ref, p1o_ref, p2o_ref, p3o_ref,
-                       *, rows: int, block_rows: int):
+                       *, rows: int, block_rows: int, fuse: bool = False):
     layout = "mixed" if block_rows % LANES == 0 else "row"
     # Single-block cells (BLOCK_ROWS == CELL_ROWS) read the alternating
     # direction from the grid index instead of a row bit.
@@ -275,29 +319,29 @@ def _block_sort_kernel(k_ref, p1_ref, p2_ref, p3_ref,
     ops = [_to_ord(k_ref[...]), p1_ref[...], p2_ref[...], p3_ref[...]]
     ops = _block_sort_body(ops, rows, block_rows, layout=layout,
                            final_dir_up=final)
+    if fuse and rows > block_rows:
+        lane_iota = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 1)
+        row_iota = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 0)
+        ops = _fused_merge_passes(
+            ops, rows, block_rows, (pl.program_id(0) % 2) == 0,
+            lane_iota, row_iota,
+        )
     ko_ref[...] = _from_ord(ops[0])
     p1o_ref[...], p2o_ref[...], p3o_ref[...] = ops[1:]
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def block_sort(keys, p1, p2, p3, interpret: bool = False):
-    """Sort BLOCK-entry tiles of the flat (E,) operands; ascending per block.
-
-    Returns (keys, p1, p2, p3) block-sorted plus (nblocks,) live counts
-    (an XLA reduction — sentinels have sunk to each block's tail).
-    E must be a multiple of BLOCK (the enum stage already pads with
-    sentinel slots).
-    """
-    e = keys.shape[0]
-    assert e % BLOCK == 0, e
+def _plan_block_sort(e: int):
+    """Static phase-1 geometry for E entries: (pad_blocks, cell_rows,
+    run_rows). `run_rows` is the sorted-run granularity phase 1 HANDS TO
+    the merge phase — cell_rows when the in-cell merge fusion applies
+    (FUSE_L1 and the cell holds >1 block), else BLOCK_ROWS."""
     nblocks = e // BLOCK
-    rows_total = e // LANES
     # Alternating tile directions need an even tile count per grid cell
     # (tile parity is read from the cell-local row index). Odd block counts
     # > 1 can't satisfy that for any cell size — pad one all-sentinel block
-    # (sorted trivially, sliced back off below; block parities unchanged).
+    # (sorted trivially; block parities unchanged).
     pad_blocks = nblocks % 2 if nblocks > 1 else 0
-    rows_run = rows_total + pad_blocks * BLOCK_ROWS
+    rows_run = e // LANES + pad_blocks * BLOCK_ROWS
     cell_rows = min(CELL_ROWS, rows_run)
     # Ragged tail: fall back to one cell per block row-count if not divisible.
     while rows_run % cell_rows:
@@ -310,6 +354,31 @@ def block_sort(keys, p1, p2, p3, interpret: bool = False):
         cell_rows = BLOCK_ROWS
     assert cell_rows % (2 * BLOCK_ROWS) == 0 or nblocks == 1 \
         or cell_rows == BLOCK_ROWS, (e, cell_rows)
+    fuse = FUSE_L1 and cell_rows > BLOCK_ROWS and nblocks > 1
+    run_rows = cell_rows if fuse else BLOCK_ROWS
+    return pad_blocks, cell_rows, run_rows
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def block_sort(keys, p1, p2, p3, interpret: bool = False):
+    """Sort the flat (E,) operands into runs of `_plan_block_sort(E)`'s
+    run_rows granularity (BLOCK-entry bitonic tiles, plus the in-cell merge
+    fusion when enabled), runs alternating asc/desc by parity.
+
+    Returns (keys, p1, p2, p3) run-sorted plus (nruns,) live counts (an XLA
+    reduction — sentinels have sunk to each ascending run's tail / desc
+    run's head). E must be a multiple of BLOCK (the enum stage already pads
+    with sentinel slots). NOTE: with an odd block count the returned planes
+    are one pad block LONGER than the input — fused runs cannot be sliced
+    (live entries sort throughout the run), and the merge phase drops the
+    slack anyway.
+    """
+    e = keys.shape[0]
+    assert e % BLOCK == 0, e
+    rows_total = e // LANES
+    pad_blocks, cell_rows, run_rows = _plan_block_sort(e)
+    fuse = run_rows != BLOCK_ROWS
+    rows_run = rows_total + pad_blocks * BLOCK_ROWS
 
     def spec():
         return pl.BlockSpec((cell_rows, LANES), lambda i: (i, 0),
@@ -324,16 +393,19 @@ def block_sort(keys, p1, p2, p3, interpret: bool = False):
 
     outs = pl.pallas_call(
         functools.partial(_block_sort_kernel, rows=cell_rows,
-                          block_rows=BLOCK_ROWS),
+                          block_rows=BLOCK_ROWS, fuse=fuse),
         grid=(rows_run // cell_rows,),
         in_specs=[spec() for _ in range(4)],
         out_specs=[spec() for _ in range(4)],
         out_shape=[jax.ShapeDtypeStruct((rows_run, LANES), jnp.uint32)] * 4,
         interpret=interpret,
     )(prep(keys, SENTINEL), prep(p1, 0), prep(p2, 0), prep(p3, 0))
-    ks, s1, s2, s3 = (a[:rows_total] for a in outs)
-    live = (ks != jnp.uint32(SENTINEL)).astype(jnp.int32)
-    counts = jnp.sum(live.reshape(nblocks, BLOCK_ROWS * LANES // 256, 256), axis=(1, 2))
+    if fuse and pad_blocks:
+        # Pad rows participate in their fused run; keep them (see docstring).
+        ks, s1, s2, s3 = outs
+    else:
+        ks, s1, s2, s3 = (a[:rows_total] for a in outs)
+    counts = block_live_counts(ks, run_rows)
     return ks, s1, s2, s3, counts
 
 
@@ -746,13 +818,15 @@ def _merge_level(planes, meta, out_rows: int, interpret: bool = False,
     )(meta, *planes)
 
 
-def block_live_counts(ks) -> jnp.ndarray:
-    """(nblocks,) live-entry counts of block-sorted flat keys (sentinels
-    have sunk to each block's tail; an XLA reduction)."""
-    e = ks.shape[0]
-    nblocks = e // BLOCK
+def block_live_counts(ks, run_rows: int = None) -> jnp.ndarray:
+    """(nruns,) live-entry counts of run-sorted flat keys (sentinels have
+    sorted to each run's extremity; an XLA reduction). `run_rows` defaults
+    to the phase-1 block granularity."""
+    run = (run_rows or BLOCK_ROWS) * LANES
+    e = ks.size
+    nruns = e // run
     live = (ks.reshape(-1) != jnp.uint32(SENTINEL)).astype(jnp.int32)
-    return jnp.sum(live.reshape(nblocks, BLOCK // 256, 256), axis=(1, 2))
+    return jnp.sum(live.reshape(nruns, run // 256, 256), axis=(1, 2))
 
 
 def merge_presorted(ks, s1, s2, s3, interpret: bool = False,
@@ -762,10 +836,10 @@ def merge_presorted(ks, s1, s2, s3, interpret: bool = False,
     enumerate+sort front-end kernel). Same output contract as merge_sort."""
     e = ks.shape[0]
     assert e % BLOCK == 0, e
-    counts = block_live_counts(ks)
+    counts = block_live_counts(ks, BLOCK_ROWS)
     return _merge_phase(
         [a.reshape(e // LANES, LANES) for a in (ks, s1, s2, s3)],
-        counts, interpret=interpret, interleaved=interleaved,
+        counts, BLOCK_ROWS, interpret=interpret, interleaved=interleaved,
     )
 
 
@@ -791,32 +865,35 @@ def merge_sort(keys, p1, p2, p3, interpret: bool = False,
     if BLOCK < e and rows_total < _NR:
         return jax.lax.sort((keys, p1, p2, p3), num_keys=1, is_stable=False)
     ks, s1, s2, s3, counts = block_sort(keys, p1, p2, p3, interpret=interpret)
-    return _merge_phase([ks, s1, s2, s3], counts, interpret=interpret,
-                        interleaved=interleaved, max_levels=max_levels)
+    run_rows = _plan_block_sort(e)[2]
+    return _merge_phase([ks, s1, s2, s3], counts, run_rows,
+                        interpret=interpret, interleaved=interleaved,
+                        max_levels=max_levels)
 
 
-def _merge_phase(planes, counts, interpret: bool = False,
+def _merge_phase(planes, counts, run_rows: int, interpret: bool = False,
                  interleaved: bool = False, max_levels: int | None = None):
-    """Merge-path levels over block-sorted (rows, LANES) planes.
+    """Merge-path levels over run-sorted (rows, LANES) planes (runs of
+    `run_rows` rows, alternating asc/desc by parity).
 
     `max_levels` truncates the level loop (benchmark instrumentation:
     per-level device time = t(k) - t(k-1)); the truncated result is NOT a
     full sort — only scripts/bench_sort.py uses it."""
     rows_total = planes[0].shape[0]
     e = rows_total * LANES
-    nblocks = e // BLOCK
-    if nblocks == 1:
+    run = run_rows * LANES
+    nruns = e // run
+    if nruns == 1:
         return tuple(a.reshape(-1) for a in planes)
 
-    starts_rows = jnp.arange(nblocks, dtype=jnp.int32) * BLOCK_ROWS
-    stored = jnp.full((nblocks,), BLOCK, jnp.int32)
+    starts_rows = jnp.arange(nruns, dtype=jnp.int32) * run_rows
+    stored = jnp.full((nruns,), run, jnp.int32)
     live = counts
-    nruns = nblocks
     inter = None
     # Static per-level cap on run size (doubles each level; the +1 row of
     # rounding slack per merge is absorbed by the ceil) — bounds the split
     # search depth.
-    run_cap = BLOCK
+    run_cap = run
     level = 0
     while nruns > 1:
         if max_levels is not None and level >= max_levels:
