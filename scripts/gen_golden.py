@@ -1,9 +1,13 @@
 """Golden-image fixture: the standing fidelity artifact for CI.
 
-Renders a DETERMINISTIC scene (seeded Inria-like statistics — near-camera
-ground discs, structure band, background shell; data/synthetic.py) from a
-fixed camera through the real CLI path (PLY on disk -> read_ply -> Viewer
--> PNG) and compares/updates the committed golden PNG.
+Renders the first 20k records of the COMMITTED trained-like PLY fixture
+(tests/fixtures/trained_like_100k.ply — Inria-format binary, trained-model
+statistics, row-shuffled so a prefix is a representative crop; see
+scripts/gen_fixture_ply.py) from a fixed camera through the real CLI path
+(PLY on disk -> read_ply -> Viewer -> PNG) and compares/updates the
+committed golden PNG. Rendering from a committed FILE (not re-synthesized
+arrays) means edits to data/synthetic.py can never silently move the
+fidelity anchor.
 
 The committed artifact pins the whole image-formation chain — compression
 round-trip, preprocess, tile binning, sort, OIT composite — so any drift
@@ -33,18 +37,21 @@ GOLDEN = os.path.join(REPO, "tests", "golden", "golden_256.png")
 # tight tolerances — the chip's image formation is deterministic.
 GOLDEN_TPU = os.path.join(REPO, "tests", "golden", "golden_tpu_256.png")
 
+# Committed scene fixture (scripts/gen_fixture_ply.py).
+FIXTURE = os.path.join(REPO, "tests", "fixtures", "trained_like_100k.ply")
 # Fixture knobs: small enough for CI seconds, big enough to exercise depth
 # layering, anisotropy, SH tilt, and multi-tile splats. max_dup=16 keeps
 # the fixture truncation-free (exact for the scene's splat radii).
-N, W, H, SEED, ORBIT = 20_000, 256, 256, 7, 30.0
+N, W, H, ORBIT = 20_000, 256, 256, 30.0
 
 
 def render_golden(out_png: str, backend: str = "cpu") -> None:
     sys.path.insert(0, REPO)
     from wgpu_3dgs_viewer_app_tpu.app.cli import main
-    from wgpu_3dgs_viewer_app_tpu.data import make_inria_like_scene, write_ply
+    from wgpu_3dgs_viewer_app_tpu.data import read_ply, write_ply
 
-    g = make_inria_like_scene(N, seed=SEED)
+    g = read_ply(FIXTURE)
+    g = g.select((np.arange(g.count) < N))  # prefix crop (file is shuffled)
     with tempfile.NamedTemporaryFile(suffix=".ply", delete=False) as f:
         write_ply(f, g)
         ply_path = f.name

@@ -269,3 +269,49 @@ def test_streaming_loader_finishes_with_skipped_records():
     assert loader.finished and loader.error is None
     assert total == 499
     assert loader.stats.skipped == 1
+
+
+def test_committed_fixture_ply_parses_and_is_trained_like():
+    """The committed Inria-format fixture (tests/fixtures/, VERDICT r3
+    item 6; generated by scripts/gen_fixture_ply.py because this
+    environment has no network egress for a real trained capture) must
+    parse through the production loader and show trained-model statistics:
+    anisotropic log-scales, bimodal opacity, SH band-energy decay."""
+    import os
+
+    from wgpu_3dgs_viewer_app_tpu.data.ply import PlyReadStats
+
+    path = os.path.join(os.path.dirname(__file__), "fixtures",
+                        "trained_like_100k.ply")
+    with open(path, "rb") as f:
+        header = read_ply_header(f)
+    assert header.count == 100_000
+    assert header.fmt == "binary_little_endian"
+
+    stats = PlyReadStats()
+    g = read_ply(path, stats)
+    assert g.count == 100_000 and stats.skipped == 0
+    assert np.isfinite(g.pos).all() and np.isfinite(g.sh_rest).all()
+
+    # Trained-like statistics (coarse gates, not distribution tests):
+    # squashed minor axis — max/min linear scale ratio typically >> 1.
+    lin = np.exp(g.scale)
+    ratio = lin.max(1) / np.maximum(lin.min(1), 1e-12)
+    assert np.median(ratio) > 2.0
+    # Bimodal opacity: both near-opaque and translucent modes populated.
+    op = 1.0 / (1.0 + np.exp(-g.opacity))
+    assert (op > 0.8).mean() > 0.2 and (op < 0.3).mean() > 0.05
+    # SH band energy decays by degree.
+    e1 = float((g.sh_rest[:, 0:3] ** 2).mean())
+    e3 = float((g.sh_rest[:, 8:15] ** 2).mean())
+    assert e1 > e3
+
+    # A record PREFIX is a representative crop (the file is row-shuffled):
+    # the golden scene (first 20k) must span the whole scene extent.
+    with open(path, "rb") as f:
+        h = read_ply_header(f)
+        first = next(read_ply_chunks(f, h, chunk_size=20_000))
+    assert first.count == 20_000
+    span_crop = first.pos.max(0) - first.pos.min(0)
+    span_full = g.pos.max(0) - g.pos.min(0)
+    assert (span_crop > 0.8 * span_full).all()
