@@ -497,17 +497,28 @@ def _run_child_once(config, timeout, extra=(), on_partial=None):
     return last_obj
 
 
-def _run_child(config, timeout, extra=(), retries=1, on_partial=None):
+def _run_child(config, timeout, extra=(), retries=1, on_partial=None,
+               first_cap=None):
     """One fresh-process retry (= full TPU backend re-init) on failure,
-    bounded by the bench deadline."""
+    bounded by the bench deadline.
+
+    `first_cap` bounds the FIRST attempt only (round-4 postmortem: a dead
+    tunnel init burned the entire 1154 s window in one child — but in
+    round 3 a fresh process connected in minutes right after a 600 s init
+    timeout, and compiles finished before a kill persist in the on-disk
+    cache, so the retry resumes rather than restarts). A capped first
+    attempt + a full-window second attempt dominates one long attempt in
+    both failure modes."""
     last = {"ok": False, "error": "not run", "results": {}}
     for attempt in range(retries + 1):
         if attempt:
-            if _remaining() < timeout * 0.5:
+            if _remaining() < 90:
                 log(f"config {config}: skipping retry (deadline)")
                 break
             log(f"config {config}: retrying in a fresh process")
         t = min(timeout, max(60.0, _remaining() - 45.0))
+        if attempt == 0 and first_cap:
+            t = min(t, float(first_cap))
         last = _run_child_once(config, t, extra=extra, on_partial=on_partial)
         if last.get("ok"):
             return last
@@ -577,6 +588,11 @@ def orchestrate(args):
         f"(deadline {_DEADLINE:.0f}s, {_remaining():.0f}s left)")
     if not probe.get("ok"):
         errors["probe"] = probe.get("error", "?")
+    # A parseable (if zero-valued) summary exists from minute ~5 onward —
+    # a capture window that dies during the first config still records a
+    # well-formed line instead of nothing (round-4 postmortem: the first
+    # summary printed only after the headline child's 1154 s init timeout).
+    emit()
 
     if probe.get("ok") and backend != "tpu":
         # CPU/other backend: the 6M headline would take hours — measure the
@@ -615,7 +631,8 @@ def orchestrate(args):
                 if args.breakdown:
                     extra += ["--breakdown"]
             r = _run_child(config, budget, extra=extra, retries=retries,
-                           on_partial=on_partial if config == "1" else None)
+                           on_partial=on_partial if config == "1" else None,
+                           first_cap=600 if config == "1" else None)
             results.update(r.get("results", {}))
             if not r.get("ok"):
                 errors[f"config{config}"] = r.get("error", "?")
