@@ -56,13 +56,25 @@ def render_golden(out_png: str, backend: str = "cpu") -> None:
         write_ply(f, g)
         ply_path = f.name
     try:
-        platform = [] if backend == "ambient" else ["--platform", backend]
+        # backend "tpu" uses the AMBIENT platform: the dev tunnel registers
+        # its own PJRT plugin, and pinning jax_platforms="tpu" selects the
+        # (absent) native libtpu instead ("No jellyfish device found").
+        # The loud assert below replaces the pin.
+        platform = [] if backend in ("ambient", "tpu") \
+            else ["--platform", backend]
         rc = main([
             *platform, "render", ply_path, "-o", out_png,
             "--width", str(W), "--height", str(H),
             "--max-dup", "16", "--orbit", str(ORBIT),
         ])
         assert rc == 0
+        if backend == "tpu":
+            import jax
+
+            got = jax.default_backend()
+            assert got == "tpu", (
+                f"TPU golden requested but ambient backend is {got!r} — "
+                "refusing to write/compare a CPU render as the TPU anchor")
     finally:
         os.unlink(ply_path)
 

@@ -51,9 +51,15 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 def pytest_collection_modifyitems(config, items):
     import pytest
 
-    if _TPU_RUN:
-        return
-    skip = pytest.mark.skip(reason="TPU hardware test (set GS_TPU_TESTS=1)")
+    # `slow`-marked tests (multi-minute interpret-mode kernel runs on slow
+    # boxes) are opt-in: GS_SLOW_TESTS=1, or an explicit `-m slow`.
+    run_slow = (os.environ.get("GS_SLOW_TESTS") == "1"
+                or "slow" in (config.getoption("markexpr") or ""))
+    skip_slow = pytest.mark.skip(
+        reason="slow interpret-mode test (set GS_SLOW_TESTS=1 or -m slow)")
+    skip_tpu = pytest.mark.skip(reason="TPU hardware test (set GS_TPU_TESTS=1)")
     for item in items:
-        if "tpu" in item.keywords:
-            item.add_marker(skip)
+        if not _TPU_RUN and "tpu" in item.keywords:
+            item.add_marker(skip_tpu)
+        if not run_slow and "slow" in item.keywords:
+            item.add_marker(skip_slow)

@@ -96,18 +96,23 @@ def test_block_sort_multi_subtile_blocks():
             zip(ks[sl].tolist(), s1[sl].tolist()))
 
 
-@pytest.mark.parametrize("e,frac,span", [
-    (BLOCK, 0.3, 1 << 32),       # single block
-    (3 * BLOCK, 0.4, 1 << 24),   # odd block count (sentinel pad block path)
-    (4 * BLOCK, 0.44, 1 << 16),  # duplicate keys across blocks
-    (16 * BLOCK, 0.5, 1 << 32),  # exercises split merge levels
+@pytest.mark.parametrize("e,frac,span,fuse", [
+    (BLOCK, 0.3, 1 << 32, None),       # single block
+    (3 * BLOCK, 0.4, 1 << 24, None),   # odd block count (sentinel pad block)
+    (4 * BLOCK, 0.44, 1 << 16, False), # fuse OFF: 4 runs -> 2 merge levels
+    (8 * BLOCK, 0.44, 1 << 20, None),  # fused cells + 1 merge level
+    # Split merge levels (multi-chunk pairs) at full depth — expensive in
+    # interpret mode (~7 min on a slow box); opt in with GS_SLOW_TESTS=1.
+    pytest.param(16 * BLOCK, 0.5, 1 << 32, None, marks=pytest.mark.slow),
 ])
-def test_merge_sort_interpret(e, frac, span):
+def test_merge_sort_interpret(e, frac, span, fuse):
     k, p1, p2, p3 = _mk(e, frac, span)
-    outs = merge_sort(*(jnp.asarray(a) for a in (k, p1, p2, p3)), interpret=True)
+    outs = merge_sort(*(jnp.asarray(a) for a in (k, p1, p2, p3)),
+                      interpret=True, fuse_l1=fuse)
     _check(k, p1, p2, p3, *outs)
 
 
+@pytest.mark.slow
 def test_merge_sort_max_levels_truncation():
     """max_levels (bench instrumentation) runs a PREFIX of the level loop:
     after 1 of the 2 levels at 4 phase-1 runs, run 0 = runs 0+1 merged; the
@@ -173,17 +178,21 @@ def test_merge_sort_massive_key_ties(span):
     """Degenerate key entropy (all keys equal / two values): merge-path
     rank splits break ties by COUNT, and giant tie blocks must still pair
     every key with a payload exactly once (real scenes hit this when many
-    entries share one tile + quantized depth bucket)."""
-    e = 4 * BLOCK  # two merge levels — enough to compose tie splits
+    entries share one tile + quantized depth bucket). fuse_l1=False so 4
+    blocks still reach TWO merge levels (composing tie splits) — fused,
+    this size is a single phase-1 cell with no splits at all."""
+    e = 4 * BLOCK
     k, p1, p2, p3 = _mk(e, 0.3, span, seed=11)
-    outs = merge_sort(*(jnp.asarray(a) for a in (k, p1, p2, p3)), interpret=True)
+    outs = merge_sort(*(jnp.asarray(a) for a in (k, p1, p2, p3)),
+                      interpret=True, fuse_l1=False)
     _check(k, p1, p2, p3, *outs)
 
 
 def test_merge_sort_extreme_live_skew():
     """All live entries concentrated in one block, the rest pure sentinel:
     the ragged level descriptors see empty runs (stored == live == 0) at
-    every level and must still compact/merge correctly."""
+    every level and must still compact/merge correctly. fuse_l1=False:
+    8 blocks -> 8 runs -> 3 levels of empty-run descriptors."""
     e = 8 * BLOCK
     rng = np.random.default_rng(13)
     k = np.full(e, SENT, np.uint32)
@@ -191,14 +200,16 @@ def test_merge_sort_extreme_live_skew():
     p1 = np.arange(e, dtype=np.uint32)
     p2 = rng.integers(0, 2**32, e, dtype=np.uint32)
     p3 = rng.integers(0, 2**32, e, dtype=np.uint32)
-    outs = merge_sort(*(jnp.asarray(a) for a in (k, p1, p2, p3)), interpret=True)
+    outs = merge_sort(*(jnp.asarray(a) for a in (k, p1, p2, p3)),
+                      interpret=True, fuse_l1=False)
     _check(k, p1, p2, p3, *outs)
 
 
 def test_merge_sort_live_tail_only():
     """Mirror skew: live entries only in the LAST block (descending-parity
     run), sentinels ahead of them — the asc/desc alternation and window
-    clipping must not drop the tail run's entries."""
+    clipping must not drop the tail run's entries. fuse_l1=False for the
+    same multi-level descriptor coverage as the skew test above."""
     e = 8 * BLOCK
     rng = np.random.default_rng(17)
     k = np.full(e, SENT, np.uint32)
@@ -206,5 +217,6 @@ def test_merge_sort_live_tail_only():
     p1 = np.arange(e, dtype=np.uint32)
     p2 = rng.integers(0, 2**32, e, dtype=np.uint32)
     p3 = rng.integers(0, 2**32, e, dtype=np.uint32)
-    outs = merge_sort(*(jnp.asarray(a) for a in (k, p1, p2, p3)), interpret=True)
+    outs = merge_sort(*(jnp.asarray(a) for a in (k, p1, p2, p3)),
+                      interpret=True, fuse_l1=False)
     _check(k, p1, p2, p3, *outs)

@@ -330,11 +330,14 @@ def _block_sort_kernel(k_ref, p1_ref, p2_ref, p3_ref,
     p1o_ref[...], p2o_ref[...], p3o_ref[...] = ops[1:]
 
 
-def _plan_block_sort(e: int):
+def _plan_block_sort(e: int, fuse_l1: bool | None = None):
     """Static phase-1 geometry for E entries: (pad_blocks, cell_rows,
     run_rows). `run_rows` is the sorted-run granularity phase 1 HANDS TO
     the merge phase — cell_rows when the in-cell merge fusion applies
-    (FUSE_L1 and the cell holds >1 block), else BLOCK_ROWS."""
+    (FUSE_L1 and the cell holds >1 block), else BLOCK_ROWS. `fuse_l1`
+    overrides the module default (in-process A/B on hardware; tests use
+    fuse_l1=False to reach multi-level merge coverage at small sizes —
+    with fusion on, anything <= one cell sorts entirely in phase 1)."""
     nblocks = e // BLOCK
     # Alternating tile directions need an even tile count per grid cell
     # (tile parity is read from the cell-local row index). Odd block counts
@@ -354,13 +357,15 @@ def _plan_block_sort(e: int):
         cell_rows = BLOCK_ROWS
     assert cell_rows % (2 * BLOCK_ROWS) == 0 or nblocks == 1 \
         or cell_rows == BLOCK_ROWS, (e, cell_rows)
-    fuse = FUSE_L1 and cell_rows > BLOCK_ROWS and nblocks > 1
+    want_fuse = FUSE_L1 if fuse_l1 is None else fuse_l1
+    fuse = want_fuse and cell_rows > BLOCK_ROWS and nblocks > 1
     run_rows = cell_rows if fuse else BLOCK_ROWS
     return pad_blocks, cell_rows, run_rows
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def block_sort(keys, p1, p2, p3, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("interpret", "fuse_l1"))
+def block_sort(keys, p1, p2, p3, interpret: bool = False,
+               fuse_l1: bool | None = None):
     """Sort the flat (E,) operands into runs of `_plan_block_sort(E)`'s
     run_rows granularity (BLOCK-entry bitonic tiles, plus the in-cell merge
     fusion when enabled), runs alternating asc/desc by parity.
@@ -376,7 +381,7 @@ def block_sort(keys, p1, p2, p3, interpret: bool = False):
     e = keys.shape[0]
     assert e % BLOCK == 0, e
     rows_total = e // LANES
-    pad_blocks, cell_rows, run_rows = _plan_block_sort(e)
+    pad_blocks, cell_rows, run_rows = _plan_block_sort(e, fuse_l1)
     fuse = run_rows != BLOCK_ROWS
     rows_run = rows_total + pad_blocks * BLOCK_ROWS
 
@@ -844,9 +849,10 @@ def merge_presorted(ks, s1, s2, s3, interpret: bool = False,
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "interleaved",
-                                              "max_levels"))
+                                              "max_levels", "fuse_l1"))
 def merge_sort(keys, p1, p2, p3, interpret: bool = False,
-               interleaved: bool = False, max_levels: int | None = None):
+               interleaved: bool = False, max_levels: int | None = None,
+               fuse_l1: bool | None = None):
     """Full sort of (keys + 3 payload planes), ascending by key — the
     drop-in replacement for `lax.sort((k, p1, p2, p3), num_keys=1)` on the
     entry planes, returning arrays LONGER than the input (the merge levels
@@ -864,8 +870,9 @@ def merge_sort(keys, p1, p2, p3, interpret: bool = False,
     # Piece DMA needs _NR input rows; tiny arrays delegate to lax.sort.
     if BLOCK < e and rows_total < _NR:
         return jax.lax.sort((keys, p1, p2, p3), num_keys=1, is_stable=False)
-    ks, s1, s2, s3, counts = block_sort(keys, p1, p2, p3, interpret=interpret)
-    run_rows = _plan_block_sort(e)[2]
+    ks, s1, s2, s3, counts = block_sort(keys, p1, p2, p3, interpret=interpret,
+                                        fuse_l1=fuse_l1)
+    run_rows = _plan_block_sort(e, fuse_l1)[2]
     return _merge_phase([ks, s1, s2, s3], counts, run_rows,
                         interpret=interpret, interleaved=interleaved,
                         max_levels=max_levels)
