@@ -323,8 +323,11 @@ class GaussianSplattingSession:
         for key, model in self.viewer.models.items():
             if model.gaussians is None:
                 continue
+            pos = np.asarray(model.gaussians.pos)
+            # Component planes: the evaluator's fast path (host column
+            # slices; no (N, 3) device array ever materializes).
             bits = self.mask_evaluator.evaluate(
-                op, pods, jnp.asarray(model.gaussians.pos), model.transform
+                op, pods, (pos[:, 0], pos[:, 1], pos[:, 2]), model.transform
             )
             model.buffers.set_mask(bits)
 

@@ -66,11 +66,26 @@ class MaskOpShapePod:
     pos: np.ndarray      # (3,) shape origin
 
 
-def shape_contains(pod: MaskOpShapePod, points: jnp.ndarray) -> jnp.ndarray:
-    """(N, 3) world points -> (N,) bool containment."""
-    local = (points - jnp.asarray(pod.pos)) @ jnp.asarray(pod.inv_lin).T
+def shape_contains_xyz(pod: MaskOpShapePod, x, y, z) -> jnp.ndarray:
+    """Component-form containment: three flat (N,) world planes -> (N,) bool.
+
+    All math stays on flat (N,) arrays — 9 fma + 3 sub per shape, fused by
+    XLA with the surrounding set-op tree. Never build an (N, 3) array on
+    device (lane-padding + tiny-matmul tiling pathologies, PERF_NOTES.md)."""
+    il = np.asarray(pod.inv_lin, np.float32)
+    px, py, pz = (float(v) for v in np.asarray(pod.pos, np.float32))
+    dx, dy, dz = x - px, y - py, z - pz
+    lx = il[0, 0] * dx + il[0, 1] * dy + il[0, 2] * dz
+    ly = il[1, 0] * dx + il[1, 1] * dy + il[1, 2] * dz
+    lz = il[2, 0] * dx + il[2, 1] * dy + il[2, 2] * dz
     if pod.kind == MaskShapeKind.BOX:
         # Unit box: |local| <= 0.5 on every axis.
-        return jnp.all(jnp.abs(local) <= 0.5, axis=-1)
+        return (jnp.abs(lx) <= 0.5) & (jnp.abs(ly) <= 0.5) & (jnp.abs(lz) <= 0.5)
     # Unit ball: |local| <= 0.5 radius (diameter-1 ellipsoid, matching box).
-    return jnp.sum(local * local, axis=-1) <= 0.25
+    return lx * lx + ly * ly + lz * lz <= 0.25
+
+
+def shape_contains(pod: MaskOpShapePod, points: jnp.ndarray) -> jnp.ndarray:
+    """(N, 3) world points -> (N,) bool containment (test/host convenience;
+    the evaluator uses the component form above)."""
+    return shape_contains_xyz(pod, points[:, 0], points[:, 1], points[:, 2])
