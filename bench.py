@@ -330,14 +330,18 @@ def bench_config4(results):
         MaskShape(kind=MaskShapeKind.BOX, pos=(-0.5, 0.4, 0), scale=(0.6, 0.6, 0.6)).to_pod(),
     ]
     op = parse("(0 | 1) - 2")
-    ev = jax.jit(lambda pts: MaskEvaluator().evaluate(op, shapes, pts))
-    from wgpu_3dgs_viewer_app_tpu.data import pod_positions
+    # Component planes straight from the pod's (3, N_pad) row storage — the
+    # evaluator's fast path (25 ms -> ~1 ms over 6M on v5e: no (N, 3)
+    # device array, no (N,3)@(3,3) tiny matmuls).
+    ev = jax.jit(lambda x, y, z: MaskEvaluator().evaluate(op, shapes, (x, y, z)))
+    import numpy as _np
 
-    pts = jnp.asarray(pod_positions(pod))
-    bits = ev(pts)
+    pr = _np.asarray(pod["pos"], _np.float32).reshape(3, -1)
+    pts = tuple(jnp.asarray(pr[i]) for i in range(3))
+    bits = ev(*pts)
     float(bits[0:1].sum())  # compile
     t0 = time.perf_counter()
-    float(ev(pts)[0:1].sum())
+    float(ev(*pts)[0:1].sum())
     log(f"config4 mask eval over 6M: {(time.perf_counter()-t0)*1000:.2f} ms")
 
     def step(pod, view, proj, bits):
@@ -588,16 +592,20 @@ def orchestrate(args):
         f"(deadline {_DEADLINE:.0f}s, {_remaining():.0f}s left)")
     if not probe.get("ok"):
         errors["probe"] = probe.get("error", "?")
+    # Decide the summary format BEFORE the first emit so a non-TPU run's
+    # early line already uses the CPU metric name (advisor r4: the early
+    # emit printed the TPU metric, later lines switched — inconsistent for
+    # consumers that don't strictly take the last line).
+    cpu_mode["on"] = bool(probe.get("ok")) and backend != "tpu"
     # A parseable (if zero-valued) summary exists from minute ~5 onward —
     # a capture window that dies during the first config still records a
     # well-formed line instead of nothing (round-4 postmortem: the first
     # summary printed only after the headline child's 1154 s init timeout).
     emit()
 
-    if probe.get("ok") and backend != "tpu":
+    if cpu_mode["on"]:
         # CPU/other backend: the 6M headline would take hours — measure the
         # CPU-runnable BASELINE config 0 instead (CI / tunnel-down runs).
-        cpu_mode["on"] = True
         r = _run_child("0", min(900, max(60, _remaining() - 45)),
                        extra=passthrough)
         results.update(r.get("results", {}))
@@ -630,9 +638,13 @@ def orchestrate(args):
                     extra += ["--splats", str(args.splats)]
                 if args.breakdown:
                     extra += ["--breakdown"]
+            # The 600 s first-attempt cap on the headline is justified only
+            # when a full-window retry follows (advisor r4: the lone
+            # recovery attempt must get the whole remaining window).
             r = _run_child(config, budget, extra=extra, retries=retries,
                            on_partial=on_partial if config == "1" else None,
-                           first_cap=600 if config == "1" else None)
+                           first_cap=600 if (config == "1" and retries > 0)
+                           else None)
             results.update(r.get("results", {}))
             if not r.get("ok"):
                 errors[f"config{config}"] = r.get("error", "?")
