@@ -34,6 +34,10 @@ from .preprocess import PreprocessOut
 ALPHA_MAX = 0.99
 ALPHA_U8_MAX = int(ALPHA_MAX * 255)  # 252
 
+# Culled/empty dup slots carry this key (sorts after every real tile;
+# ops/sort.py's SENTINEL is the same value by contract).
+SENTINEL_KEY = 0xFFFFFFFF
+
 
 @dataclasses.dataclass(frozen=True)
 class TileConfig:
@@ -48,6 +52,18 @@ class TileConfig:
     # splat radius: D=16 is safe for r <= 1.5 tiles; D=4 is exact only for
     # r <= tile/2. Sort cost scales with N*D (PERF_NOTES.md).
     max_dup: int = 8
+    # Compacted slot assignment (VERDICT r4: "kill the sentinel slack"):
+    # with dup_scan = K > max_dup, slot d holds the d-th candidate cell that
+    # PASSES the exact ellipse-tile test among the K center-out candidates —
+    # instead of the d-th candidate unconditionally. Slots then hold ~0
+    # sentinels for unculled splats, so the same coverage needs a smaller D
+    # (E = N*D is the sort's scale axis): D=3/K=12 covers every splat the
+    # uncompacted D=4 covers EXCEPT those with >= 4 passing cells, while
+    # reaching passing cells anywhere in the first 12 candidates (the
+    # uncompacted path never looks past candidate 3). 0 = off (slot d =
+    # candidate d, the uncompacted layout). Costs K-D extra ellipse tests
+    # per splat in the enumeration kernel (~25 VPU ops each).
+    dup_scan: int = 0
 
     @property
     def tiles_x(self) -> int:
@@ -434,23 +450,21 @@ def _tight_cull_params(r_signed, p2s, p3s):
     return (cut2, a, b, c, inv_a, inv_c), rx, ry
 
 
-def _entry_planes_for_cell(
-    d: int, x, y, cull, key_lo, p1_base, tx0, rw, ty0, rh, n_touched, cfg: TileConfig
-):
-    """One duplicate plane: (key, p1) for center-out cell d of every splat."""
+def _cell_live(d: int, x, y, cull, tx0, rw, ty0, rh, n_touched, cfg: TileConfig):
+    """Exact tile-cull test of center-out candidate cell d: returns
+    (live, etx, ety). Keep the cell iff the Gaussian's contribution
+    anywhere in the tile rect can reach the compositor's ALPHA_EPS floor,
+    i.e. min over the rect of q(dx, dy) <= cut2. The min of a PD quadratic
+    over a rect is 0 if the center is inside, else it lies on one of the
+    four edges, where the 1D minimizer has a closed form (clamped to the
+    edge segment). Rect corners and even whole edge bands of the
+    circular-radius rect often miss the cut ellipse — this typically trims
+    25-50% of candidate entries before the sort (anisotropy-dependent)."""
     cut2, ca, cb, cc, inv_a, inv_c = cull
     tile = float(cfg.tile)
     etx, ety = _enum_cell(d, tx0, rw, ty0, rh)
     ox = etx.astype(jnp.float32) * tile
     oy = ety.astype(jnp.float32) * tile
-    # Exact tile culling: keep the cell iff the Gaussian's contribution
-    # anywhere in the tile rect can reach the compositor's ALPHA_EPS floor,
-    # i.e. min over the rect of q(dx, dy) <= cut2. The min of a PD quadratic
-    # over a rect is 0 if the center is inside, else it lies on one of the
-    # four edges, where the 1D minimizer has a closed form (clamped to the
-    # edge segment). Rect corners and even whole edge bands of the
-    # circular-radius rect often miss the cut ellipse — this typically trims
-    # 25-50% of candidate entries before the sort (anisotropy-dependent).
     dx0 = ox - x
     dx1 = dx0 + tile
     dy0 = oy - y
@@ -472,6 +486,14 @@ def _entry_planes_for_cell(
     # NaN-safe for invalid splats (garbage conics): NaN comparisons are
     # False and cut2 is -1 there, so live is False either way.
     live = (d < n_touched) & (qmin <= cut2)
+    return live, etx, ety
+
+
+def _cell_entry(live, etx, ety, x, y, key_lo, p1_base, cfg: TileConfig):
+    """(live, tile coords) of one slot -> its packed (key, p1) planes."""
+    tile = float(cfg.tile)
+    ox = etx.astype(jnp.float32) * tile
+    oy = ety.astype(jnp.float32) * tile
     tile_id = (ety * cfg.tiles_x + etx).astype(jnp.uint32)
     key = jnp.where(
         live,
@@ -495,6 +517,53 @@ def _entry_planes_for_cell(
     return key, p1
 
 
+def _entry_planes_for_cell(
+    d: int, x, y, cull, key_lo, p1_base, tx0, rw, ty0, rh, n_touched, cfg: TileConfig
+):
+    """One duplicate plane: (key, p1) for center-out cell d of every splat."""
+    live, etx, ety = _cell_live(d, x, y, cull, tx0, rw, ty0, rh, n_touched, cfg)
+    return _cell_entry(live, etx, ety, x, y, key_lo, p1_base, cfg)
+
+
+def _entry_planes_all(
+    x, y, cull, key_lo, p1_base, tx0, rw, ty0, rh, n_touched, cfg: TileConfig
+):
+    """All max_dup duplicate planes: list of (key, p1) per slot.
+
+    With cfg.dup_scan = K > max_dup, slots are COMPACTED: slot d holds the
+    d-th candidate among the K center-out candidates that passes the exact
+    ellipse-tile test (instead of candidate d unconditionally), so live
+    entries pack into the low slots and the sentinel slack that would ride
+    the whole sort pipeline is never emitted. Candidate order is preserved
+    (center-out), so truncation at max_dup still drops the farthest cells.
+    """
+    dmax = cfg.max_dup
+    if not cfg.dup_scan or cfg.dup_scan <= dmax:
+        return [
+            _entry_planes_for_cell(
+                d, x, y, cull, key_lo, p1_base, tx0, rw, ty0, rh, n_touched, cfg
+            )
+            for d in range(dmax)
+        ]
+    zero = jnp.zeros_like(tx0)
+    cnt = zero
+    sel_etx = [zero] * dmax
+    sel_ety = [zero] * dmax
+    for k in range(cfg.dup_scan):
+        live_k, etx, ety = _cell_live(
+            k, x, y, cull, tx0, rw, ty0, rh, n_touched, cfg
+        )
+        for d in range(dmax):
+            take = live_k & (cnt == d)
+            sel_etx[d] = jnp.where(take, etx, sel_etx[d])
+            sel_ety[d] = jnp.where(take, ety, sel_ety[d])
+        cnt = cnt + live_k.astype(jnp.int32)
+    return [
+        _cell_entry(cnt > d, sel_etx[d], sel_ety[d], x, y, key_lo, p1_base, cfg)
+        for d in range(dmax)
+    ]
+
+
 def _splat_rect(x, y, rx, ry, cfg: TileConfig):
     """Tile rect of the per-axis half-extents (the cut ellipse's AABB)."""
     tile = float(cfg.tile)
@@ -514,13 +583,11 @@ def _enumerate_entries_jnp(x, y, r_signed, key_lo, p1_base, p2s, p3s, cfg: TileC
     dmax = cfg.max_dup
     cull, rx, ry = _tight_cull_params(r_signed, p2s, p3s)
     tx0, rw, ty0, rh, n_touched = _splat_rect(x, y, rx, ry, cfg)
-    keys, p1s = [], []
-    for d in range(dmax):
-        key_d, p1_d = _entry_planes_for_cell(
-            d, x, y, cull, key_lo, p1_base, tx0, rw, ty0, rh, n_touched, cfg
-        )
-        keys.append(key_d)
-        p1s.append(p1_d)
+    planes = _entry_planes_all(
+        x, y, cull, key_lo, p1_base, tx0, rw, ty0, rh, n_touched, cfg
+    )
+    keys = [k for k, _ in planes]
+    p1s = [p for _, p in planes]
     keys2d = jnp.stack(keys, axis=0)
     p1_2d = jnp.stack(p1s, axis=0)
     p2_2d = jnp.broadcast_to(p2s[None, :], (dmax, n))
@@ -551,10 +618,10 @@ def _enum_pack_kernel(x_ref, y_ref, r_ref, klo_ref, p1b_ref, p2_ref, p3_ref,
     key_lo, p1_base = klo_ref[...], p1b_ref[...]
     cull, rx, ry = _tight_cull_params(r_ref[...], p2_ref[...], p3_ref[...])
     tx0, rw, ty0, rh, n_touched = _splat_rect(x, y, rx, ry, cfg)
-    for d in range(cfg.max_dup):  # static unroll
-        key_d, p1_d = _entry_planes_for_cell(
-            d, x, y, cull, key_lo, p1_base, tx0, rw, ty0, rh, n_touched, cfg
-        )
+    planes = _entry_planes_all(
+        x, y, cull, key_lo, p1_base, tx0, rw, ty0, rh, n_touched, cfg
+    )
+    for d, (key_d, p1_d) in enumerate(planes):  # static unroll
         keys_ref[:, d, :] = key_d
         p1_ref[:, d, :] = p1_d
         p2o_ref[:, d, :] = p2_ref[...]

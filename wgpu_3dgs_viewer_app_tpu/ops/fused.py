@@ -47,7 +47,7 @@ from .binning import (
     ROW,
     SortedEntries,
     TileConfig,
-    _entry_planes_for_cell,
+    _entry_planes_all,
     _sorted_entries_from_sorted,
     _splat_rect,
     _tight_cull_params,
@@ -320,10 +320,10 @@ def _kernel(
 
     tx0, rw, ty0, rh, n_touched = _splat_rect(px, py, rx, ry, cfg)
     if not presort:
-        for dcell in range(cfg.max_dup):
-            key_d, p1_d = _entry_planes_for_cell(
-                dcell, px, py, cull, key_lo, p1_base, tx0, rw, ty0, rh, n_touched, cfg
-            )
+        planes = _entry_planes_all(
+            px, py, cull, key_lo, p1_base, tx0, rw, ty0, rh, n_touched, cfg
+        )
+        for dcell, (key_d, p1_d) in enumerate(planes):
             keys_ref[:, dcell, :] = key_d
             p1_ref[:, dcell, :] = p1_d
             p2_ref[:, dcell, :] = p2s
@@ -345,13 +345,11 @@ def _kernel(
         _to_ord,
     )
 
-    kparts, p1parts = [], []
-    for dcell in range(cfg.max_dup):
-        key_d, p1_d = _entry_planes_for_cell(
-            dcell, px, py, cull, key_lo, p1_base, tx0, rw, ty0, rh, n_touched, cfg
-        )
-        kparts.append(key_d)
-        p1parts.append(p1_d)
+    planes = _entry_planes_all(
+        px, py, cull, key_lo, p1_base, tx0, rw, ty0, rh, n_touched, cfg
+    )
+    kparts = [k for k, _ in planes]
+    p1parts = [p for _, p in planes]
     rows = px.shape[0] * cfg.max_dup
     ops = [
         _to_ord(jnp.concatenate(kparts, axis=0)),
