@@ -214,8 +214,8 @@ def test_v2_payload_carry_matches_oracle():
 
 
 @pytest.mark.parametrize("flat", [False, True])
-@pytest.mark.parametrize("transposed", [False, True])
-def test_v2_pallas_interpret_matches_jnp(flat, transposed):
+@pytest.mark.parametrize("transposed,split", [(False, 1), (True, 1), (True, 2)])
+def test_v2_pallas_interpret_matches_jnp(flat, transposed, split):
     from wgpu_3dgs_viewer_app_tpu.ops import (
         build_sorted_entries,
         composite_tiles_jnp_v2,
@@ -227,7 +227,8 @@ def test_v2_pallas_interpret_matches_jnp(flat, transposed):
     entries = build_sorted_entries(pre, cfg)
     a = composite_tiles_jnp_v2(entries, cfg, flat_mode=flat)
     b = composite_tiles_pallas_v2(entries, cfg, flat_mode=flat,
-                                  interpret=True, transposed=transposed)
+                                  interpret=True, transposed=transposed,
+                                  split=split)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 

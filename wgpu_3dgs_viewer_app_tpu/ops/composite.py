@@ -644,6 +644,7 @@ def _composite_kernel_v2t(
     *,
     cfg: TileConfig,
     flat_mode: bool,
+    split: int = 1,
 ):
     """Transposed-orientation v2 kernel: compute shape (C entries on
     SUBLANES, P pixels on lanes). The OIT scan runs along entries, so its
@@ -651,12 +652,22 @@ def _composite_kernel_v2t(
     rolls; the color reduction stays one MXU matmul ((8, C) @ (C, P)); the
     output buffer is natively (4, P) — no final in-kernel transpose. Per
     chunk the only relayout is one (8, C) -> (C, 8) transpose of the narrow
-    decoded field rows."""
+    decoded field rows.
+
+    `split` > 1 cuts each tile into `split` horizontal pixel BANDS, one
+    grid cell each, sharing the tile's chunk list: the early exit
+    (saturation) then triggers per band instead of per tile, so an
+    already-opaque band stops pulling chunks while its siblings continue —
+    strictly less (C, P)-wide work whenever saturation depth varies inside
+    a tile, at the cost of re-reading the (4, 128) chunk rows per band
+    (~2 KB, latency-hidden)."""
     from .binning import ROW
 
-    t = pl.program_id(0)
+    c = pl.program_id(0)
+    t = c // split if split > 1 else c
+    band = c % split if split > 1 else 0
     tile = cfg.tile
-    p = tile * tile
+    p = tile * tile // split
     start = starts_ref[t]
     count = counts_ref[t]
     row0 = start // ROW
@@ -664,7 +675,7 @@ def _composite_kernel_v2t(
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, p), 1)
     px = (lane % tile).astype(jnp.float32) + 0.5  # (1, P) tile-local
-    py = (lane // tile).astype(jnp.float32) + 0.5
+    py = (band * (tile // split) + lane // tile).astype(jnp.float32) + 0.5
     colr = jax.lax.broadcasted_iota(jnp.int32, (1, ROW), 1)
     l2 = jnp.float32(LOG2E if _USE_EXP2 else 1.0)
     s = jnp.float32(-0.5) * l2
@@ -762,8 +773,21 @@ def _composite_kernel_v2t(
     )
 
 
+# Bench A/B knob: horizontal pixel bands per tile in the transposed kernel
+# (per-band early exit; see _composite_kernel_v2t). Power of two dividing
+# the tile height with >= 128 pixels per band. Default 1 (off): measured
+# on v5e 2026-08-20 at 6M@1080p, splitting LOSES — composite 10.8 ms at
+# split=1 vs 13.7/20.1/33.8 ms at split=2/4/8. Each band re-decodes the
+# tile's full chunk list ((C,128) loads + field decode scale with bands),
+# while the per-band early exit only saves work when saturation depth
+# varies INSIDE a tile — rare at tile=32 on this scene. Kept as a knob
+# because heavily occluded scenes (deep saturated foregrounds) shift the
+# trade; the kernel is correctness-tested in interpret mode either way.
+SPLIT_DEFAULT = int(_os.environ.get("GS_COMPOSITE_SPLIT", "1"))
+
+
 @functools.partial(jax.jit, static_argnames=(
-    "cfg", "flat_mode", "interpret", "mxu", "transposed"))
+    "cfg", "flat_mode", "interpret", "mxu", "transposed", "split"))
 def composite_tiles_pallas_v2(
     entries: SortedEntries,
     cfg: TileConfig,
@@ -771,12 +795,16 @@ def composite_tiles_pallas_v2(
     interpret: bool = False,
     mxu: bool = False,
     transposed: bool = TRANSPOSED_DEFAULT,
+    split: int | None = None,
 ) -> jnp.ndarray:
     """Pallas v2 compositor. Returns (H, W, 4) f32.
 
     `transposed` (default) computes per chunk in (C entries on sublanes,
     P pixels on lanes) so the OIT scan's Hillis-Steele rolls ride sublanes
     (~4x cheaper than cross-lane) — see `_composite_kernel_v2t`.
+
+    `split` cuts tiles into horizontal pixel bands with independent early
+    exit (transposed kernel only); default from GS_COMPOSITE_SPLIT.
 
     mxu=True evaluates the per-chunk Gaussian exponent as a quadratic-basis
     matmul on the MXU (splat mode; row-major kernel only). Measured on v5e
@@ -786,16 +814,21 @@ def composite_tiles_pallas_v2(
     """
     tile = cfg.tile
     p = tile * tile
+    use_t = transposed and not mxu
+    split = SPLIT_DEFAULT if split is None else split
+    if not use_t or split < 1 or tile % split or (p // split) % 128:
+        split = 1
+    pb = p // split
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(cfg.n_tiles,),
+        grid=(cfg.n_tiles * split,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec((1, 4, p), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((1, 4, pb), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
     )
-    if transposed and not mxu:
+    if use_t:
         kernel = functools.partial(
-            _composite_kernel_v2t, cfg=cfg, flat_mode=flat_mode
+            _composite_kernel_v2t, cfg=cfg, flat_mode=flat_mode, split=split
         )
     else:
         kernel = functools.partial(
@@ -804,7 +837,7 @@ def composite_tiles_pallas_v2(
     tiles = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((cfg.n_tiles, 4, p), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((cfg.n_tiles * split, 4, pb), jnp.float32),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
@@ -812,7 +845,7 @@ def composite_tiles_pallas_v2(
     )(entries.tile_starts, entries.tile_counts, entries.planes)
 
     ntx, nty = cfg.tiles_x, cfg.tiles_y
-    tiles = tiles.transpose(0, 2, 1)
-    img = tiles.reshape(nty, ntx, tile, tile, 4).transpose(0, 2, 1, 3, 4)
-    img = img.reshape(nty * tile, ntx * tile, 4)
+    tiles = tiles.transpose(0, 2, 1)  # (T*split, Pb, 4)
+    img = tiles.reshape(nty, ntx, split, tile // split, tile, 4)
+    img = img.transpose(0, 2, 3, 1, 4, 5).reshape(nty * tile, ntx * tile, 4)
     return img[: cfg.height, : cfg.width]
