@@ -61,7 +61,8 @@ def main():
     ap.add_argument("--iters", type=int, default=10)
     args = ap.parse_args()
 
-    from wgpu_3dgs_viewer_app_tpu.ops.sort import BLOCK, block_sort, merge_sort
+    from wgpu_3dgs_viewer_app_tpu.ops.sort import (BLOCK, COMPACT,
+                                                    block_sort, merge_sort)
 
     e = (args.e // BLOCK) * BLOCK
     rng = np.random.default_rng(0)
@@ -80,12 +81,15 @@ def main():
     t1 = _time(bs, planes, iters=args.iters)
     print(f"phase 1 (block_sort 16K tiles): {t1*1e3:7.2f} ms")
 
-    ms = jax.jit(lambda *a: merge_sort(*a, interpret=interp))
+    # Module default (GS_SORT_COMPACT) so the headline rows match the
+    # frame path; phase 1 above stays uncompacted for comparability.
+    ms = jax.jit(lambda *a: merge_sort(*a, interpret=interp, compact=COMPACT))
     t2 = _time(ms, planes, iters=args.iters)
     print(f"merge_sort (phase 1 + levels):  {t2*1e3:7.2f} ms "
           f"(levels ~{(t2-t1)*1e3:.2f} ms)")
 
-    msi = jax.jit(lambda *a: merge_sort(*a, interleaved=True, interpret=interp))
+    msi = jax.jit(lambda *a: merge_sort(*a, interleaved=True, interpret=interp,
+                                        compact=COMPACT))
     t3 = _time(msi, planes, iters=args.iters)
     print(f"merge_sort interleaved:         {t3*1e3:7.2f} ms")
 
@@ -97,7 +101,8 @@ def main():
         nlevels = math.ceil(math.log2(max(2, e // BLOCK)))
         prev = t1
         for lv in range(1, nlevels + 1):
-            fn = jax.jit(lambda *a, lv=lv: merge_sort(*a, max_levels=lv, interpret=interp))
+            fn = jax.jit(lambda *a, lv=lv: merge_sort(*a, max_levels=lv,
+                                                      interpret=interp, compact=COMPACT))
             t = _time(fn, planes, iters=args.iters)
             print(f"  level {lv:2d}: {(t - prev)*1e3:7.2f} ms "
                   f"(cum {t*1e3:7.2f})")

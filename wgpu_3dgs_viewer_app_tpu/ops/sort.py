@@ -276,6 +276,13 @@ CELL_ROWS = 512
 # Knob is a bench A/B escape hatch.
 FUSE_L1 = _os.environ.get("GS_SORT_FUSE_L1", "1") not in ("0", "false")
 
+# Pre-phase-1 sentinel compaction (ops/compact.py): pack live entries into
+# a dense prefix so dead blocks skip the bitonic network entirely (~44% of
+# phase-1 compute at the 6M bench). Requires entry rows to be a multiple of
+# the compaction cell height; the dispatcher falls through cleanly when not.
+COMPACT = _os.environ.get("GS_SORT_COMPACT", "1") not in ("0", "false")
+from .compact import CROWS as _COMPACT_CROWS  # noqa: E402
+
 
 def _fused_merge_passes(ops, rows: int, block_rows: int, final_dir_up,
                         lane_iota, row_iota):
@@ -311,23 +318,58 @@ def _fused_merge_passes(ops, rows: int, block_rows: int, final_dir_up,
 
 def _block_sort_kernel(k_ref, p1_ref, p2_ref, p3_ref,
                        ko_ref, p1o_ref, p2o_ref, p3o_ref,
-                       *, rows: int, block_rows: int, fuse: bool = False):
+                       *, rows: int, block_rows: int, fuse: bool = False,
+                       live_ref=None):
     layout = "mixed" if block_rows % LANES == 0 else "row"
-    # Single-block cells (BLOCK_ROWS == CELL_ROWS) read the alternating
-    # direction from the grid index instead of a row bit.
-    final = (pl.program_id(0) % 2) == 0 if rows == block_rows else None
-    ops = [_to_ord(k_ref[...]), p1_ref[...], p2_ref[...], p3_ref[...]]
-    ops = _block_sort_body(ops, rows, block_rows, layout=layout,
-                           final_dir_up=final)
-    if fuse and rows > block_rows:
-        lane_iota = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 1)
-        row_iota = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 0)
-        ops = _fused_merge_passes(
-            ops, rows, block_rows, (pl.program_id(0) % 2) == 0,
-            lane_iota, row_iota,
-        )
-    ko_ref[...] = _from_ord(ops[0])
-    p1o_ref[...], p2o_ref[...], p3o_ref[...] = ops[1:]
+    # program_id must be read OUTSIDE pl.when bodies (interpret mode lowers
+    # them as plain lax.cond, which has no program_id rule) — and only when
+    # a grid exists (tests drive single cells with no grid at all).
+    if live_ref is not None or rows == block_rows or (fuse and rows > block_rows):
+        cell = pl.program_id(0)
+        even = (cell % 2) == 0
+    else:
+        cell = even = None
+
+    def body():
+        # Single-block cells (BLOCK_ROWS == CELL_ROWS) read the alternating
+        # direction from the grid index instead of a row bit.
+        final = even if rows == block_rows else None
+        k = k_ref[...]
+        if live_ref is not None:
+            # Pre-compacted input (ops/compact.py): rows at/after the live
+            # prefix are unwritten garbage — mask to sentinel on load.
+            riota = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 0)
+            k = jnp.where(cell * rows + riota < live_ref[0], k,
+                          jnp.uint32(SENTINEL))
+        ops = [_to_ord(k), p1_ref[...], p2_ref[...], p3_ref[...]]
+        ops = _block_sort_body(ops, rows, block_rows, layout=layout,
+                               final_dir_up=final)
+        if fuse and rows > block_rows:
+            lane_iota = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 1)
+            row_iota = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 0)
+            ops = _fused_merge_passes(
+                ops, rows, block_rows, even, lane_iota, row_iota,
+            )
+        ko_ref[...] = _from_ord(ops[0])
+        p1o_ref[...], p2o_ref[...], p3o_ref[...] = ops[1:]
+
+    if live_ref is None:
+        body()
+    else:
+        # Cells entirely past the live prefix skip the ~137-stage network
+        # — with pre-compaction that is ~44% of phase-1 compute at the 6M
+        # bench scene. Their key output must still be all-sentinel for the
+        # merge descriptors; payloads of sentinel slots are unspecified by
+        # the output contract, so they keep whatever the buffer holds.
+        dead = cell * rows >= live_ref[0]
+
+        @pl.when(jnp.logical_not(dead))
+        def _():
+            body()
+
+        @pl.when(dead)
+        def _():
+            ko_ref[...] = jnp.full((rows, LANES), SENTINEL, jnp.uint32)
 
 
 def _plan_block_sort(e: int, fuse_l1: bool | None = None):
@@ -365,7 +407,7 @@ def _plan_block_sort(e: int, fuse_l1: bool | None = None):
 
 @functools.partial(jax.jit, static_argnames=("interpret", "fuse_l1"))
 def block_sort(keys, p1, p2, p3, interpret: bool = False,
-               fuse_l1: bool | None = None):
+               fuse_l1: bool | None = None, live_rows=None):
     """Sort the flat (E,) operands into runs of `_plan_block_sort(E)`'s
     run_rows granularity (BLOCK-entry bitonic tiles, plus the in-cell merge
     fusion when enabled), runs alternating asc/desc by parity.
@@ -396,21 +438,72 @@ def block_sort(keys, p1, p2, p3, interpret: bool = False,
             a = jnp.concatenate([a, pad], axis=0)
         return a
 
-    outs = pl.pallas_call(
-        functools.partial(_block_sort_kernel, rows=cell_rows,
-                          block_rows=BLOCK_ROWS, fuse=fuse),
-        grid=(rows_run // cell_rows,),
-        in_specs=[spec() for _ in range(4)],
-        out_specs=[spec() for _ in range(4)],
-        out_shape=[jax.ShapeDtypeStruct((rows_run, LANES), jnp.uint32)] * 4,
-        interpret=interpret,
-    )(prep(keys, SENTINEL), prep(p1, 0), prep(p2, 0), prep(p3, 0))
+    ins = (prep(keys, SENTINEL), prep(p1, 0), prep(p2, 0), prep(p3, 0))
+    if live_rows is None:
+        outs = pl.pallas_call(
+            functools.partial(_block_sort_kernel, rows=cell_rows,
+                              block_rows=BLOCK_ROWS, fuse=fuse),
+            grid=(rows_run // cell_rows,),
+            in_specs=[spec() for _ in range(4)],
+            out_specs=[spec() for _ in range(4)],
+            out_shape=[jax.ShapeDtypeStruct((rows_run, LANES), jnp.uint32)] * 4,
+            interpret=interpret,
+        )(*ins)
+    else:
+        # Pre-compacted input (ops/compact.py): the live-prefix height rides
+        # scalar prefetch; dead cells skip the sort network, boundary cells
+        # mask their garbage tail to sentinels on load. Dead cells also skip
+        # their HBM traffic: the input index_map pins them to block 0 and
+        # the output index_map to the last block (consecutive repeats of the
+        # same block index elide the pipeline copies), so the dead region of
+        # the OUTPUT stays unwritten garbage — run counts below mask it to
+        # zero, and zero-stored runs are never read by the merge phase.
+        def kernel(live_ref, *refs):
+            return _block_sort_kernel(*refs, rows=cell_rows,
+                                      block_rows=BLOCK_ROWS, fuse=fuse,
+                                      live_ref=live_ref)
+
+        ncells_g = rows_run // cell_rows
+
+        def in_spec():
+            return pl.BlockSpec(
+                (cell_rows, LANES),
+                lambda i, live: (jnp.where(i * cell_rows < live[0], i, 0), 0),
+                memory_space=pltpu.VMEM)
+
+        def out_spec():
+            return pl.BlockSpec(
+                (cell_rows, LANES),
+                lambda i, live: (jnp.where(i * cell_rows < live[0], i,
+                                           ncells_g - 1), 0),
+                memory_space=pltpu.VMEM)
+
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(ncells_g,),
+            in_specs=[in_spec() for _ in range(4)],
+            out_specs=[out_spec() for _ in range(4)],
+        )
+        outs = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=[jax.ShapeDtypeStruct((rows_run, LANES), jnp.uint32)] * 4,
+            interpret=interpret,
+        )(jnp.reshape(live_rows, (1,)).astype(jnp.int32), *ins)
     if fuse and pad_blocks:
         # Pad rows participate in their fused run; keep them (see docstring).
         ks, s1, s2, s3 = outs
     else:
         ks, s1, s2, s3 = (a[:rows_total] for a in outs)
     counts = block_live_counts(ks, run_rows)
+    if live_rows is not None:
+        # Runs whose cells were skipped hold unwritten garbage (see the
+        # index_map redirection above) — force their counts to zero; the
+        # level-1 descriptor tightening then gives them stored == 0 and the
+        # merge phase never touches their data.
+        nruns = counts.shape[0]
+        run_starts = jnp.arange(nruns, dtype=jnp.int32) * run_rows
+        counts = jnp.where(run_starts < live_rows, counts, 0)
     return ks, s1, s2, s3, counts
 
 
@@ -849,10 +942,11 @@ def merge_presorted(ks, s1, s2, s3, interpret: bool = False,
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "interleaved",
-                                              "max_levels", "fuse_l1"))
+                                              "max_levels", "fuse_l1",
+                                              "compact"))
 def merge_sort(keys, p1, p2, p3, interpret: bool = False,
                interleaved: bool = False, max_levels: int | None = None,
-               fuse_l1: bool | None = None):
+               fuse_l1: bool | None = None, compact: bool = False):
     """Full sort of (keys + 3 payload planes), ascending by key — the
     drop-in replacement for `lax.sort((k, p1, p2, p3), num_keys=1)` on the
     entry planes, returning arrays LONGER than the input (the merge levels
@@ -870,8 +964,15 @@ def merge_sort(keys, p1, p2, p3, interpret: bool = False,
     # Piece DMA needs _NR input rows; tiny arrays delegate to lax.sort.
     if BLOCK < e and rows_total < _NR:
         return jax.lax.sort((keys, p1, p2, p3), num_keys=1, is_stable=False)
+    live_rows = None
+    if compact and rows_total % _COMPACT_CROWS == 0 and e > BLOCK:
+        from .compact import compact_entries
+
+        keys, p1, p2, p3, live_rows = compact_entries(
+            keys, p1, p2, p3, interpret=interpret)
+        e = keys.shape[0]
     ks, s1, s2, s3, counts = block_sort(keys, p1, p2, p3, interpret=interpret,
-                                        fuse_l1=fuse_l1)
+                                        fuse_l1=fuse_l1, live_rows=live_rows)
     run_rows = _plan_block_sort(e, fuse_l1)[2]
     return _merge_phase([ks, s1, s2, s3], counts, run_rows,
                         interpret=interpret, interleaved=interleaved,
@@ -894,7 +995,18 @@ def _merge_phase(planes, counts, run_rows: int, interpret: bool = False,
         return tuple(a.reshape(-1) for a in planes)
 
     starts_rows = jnp.arange(nruns, dtype=jnp.int32) * run_rows
-    stored = jnp.full((nruns,), run, jnp.int32)
+    # Level-1 descriptor tightening (VERDICT r4: "kill the sentinel slack"):
+    # phase-1 runs carry their sorted-out sentinel slack (~44% of E at the
+    # bench scene) as a contiguous extremity — the TAIL of asc (even) runs,
+    # the HEAD of desc (odd) runs. Trimming whole sentinel rows from the
+    # descriptors here makes level 1 live-sized like every later level
+    # (hw 2026-08-20: level 1 was 4.6 ms on 25.2M stored vs ~2.6 live-only)
+    # and establishes the same <=127-entry-slack invariant the level
+    # outputs already satisfy, so nothing downstream changes.
+    slack_rows = (jnp.int32(run) - counts) // LANES
+    parity = jnp.arange(nruns, dtype=jnp.int32) % 2
+    starts_rows = starts_rows + jnp.where(parity == 1, slack_rows, 0)
+    stored = jnp.int32(run) - slack_rows * LANES
     live = counts
     inter = None
     # Static per-level cap on run size (doubles each level; the +1 row of
@@ -947,8 +1059,16 @@ def _pad_to_block(keys, p1, p2, p3):
     Pallas merge sort stays eligible for every large size (advisor r3:
     doubling BLOCK_ROWS silently dropped 16384-but-not-32768-multiple
     entry counts onto the ~3x slower lax.sort path). A sentinel tail is
-    already the sort's output contract — callers read the live prefix."""
-    pad = (-keys.shape[0]) % BLOCK
+    already the sort's output contract — callers read the live prefix.
+
+    With pre-sort compaction enabled the pad target is the compaction
+    cell size instead (a BLOCK multiple; the bench's E = 24M is not
+    naturally CROWS-row aligned and would otherwise silently skip
+    compaction). The pad slots are sentinels, so compaction deletes them
+    again before phase 1 ever sees them."""
+    grain = _COMPACT_CROWS * LANES if COMPACT else BLOCK
+    assert grain % BLOCK == 0, (grain, BLOCK)
+    pad = (-keys.shape[0]) % grain
     if pad == 0:
         return keys, p1, p2, p3
     ktail = jnp.full((pad,), SENTINEL, jnp.uint32)
@@ -968,7 +1088,7 @@ def sort_entries_interleaved(keys, p1, p2, p3, impl: str = "auto"):
     if impl in ("pallas", "interpret"):
         keys, p1, p2, p3 = _pad_to_block(keys, p1, p2, p3)
         out = merge_sort(keys, p1, p2, p3, interpret=impl == "interpret",
-                         interleaved=True)
+                         interleaved=True, compact=COMPACT)
         if len(out) == 2:
             return out[0], out[1], None, None, None
         sk, s1, s2, s3 = out
@@ -991,5 +1111,6 @@ def sort_entries(keys, p1, p2, p3, impl: str = "auto"):
             impl = "xla"
     if impl in ("pallas", "interpret"):
         keys, p1, p2, p3 = _pad_to_block(keys, p1, p2, p3)
-        return merge_sort(keys, p1, p2, p3, interpret=impl == "interpret")
+        return merge_sort(keys, p1, p2, p3, interpret=impl == "interpret",
+                          compact=COMPACT)
     return jax.lax.sort((keys, p1, p2, p3), num_keys=1, is_stable=False)
