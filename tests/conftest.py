@@ -22,6 +22,7 @@ if not _TPU_RUN:
     # still win.
     os.environ.setdefault("GS_SORT_BLOCK_ROWS", "128")
     os.environ.setdefault("GS_MERGE_CHUNK_ROWS", "256")
+    os.environ.setdefault("GS_COMPACT_CROWS", "128")
     os.environ["JAX_PLATFORMS"] = "cpu"  # force: ambient env may say axon/tpu
     flags = os.environ.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:

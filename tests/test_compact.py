@@ -96,6 +96,31 @@ def test_compact_adversarial_patterns():
         _check(*_planes(e, valid, seed=i))
 
 
+@pytest.mark.tpu
+def test_compact_on_chip_matches_oracle():
+    """Compiled Mosaic kernel at the true CROWS on real hardware: the
+    overlapping-DMA packing chain and sublane-roll butterfly must reproduce
+    the interpret-mode/oracle semantics bit-for-bit (multiset equality of
+    live quads within the live prefix)."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(3)
+    e = 3 * CELL
+    valid = rng.random(e) >= 0.44
+    k, p1, p2, p3 = _planes(e, valid, seed=4)
+    ko, o1, o2, o3, live_rows = compact_entries(
+        *(jnp.asarray(a) for a in (k, p1, p2, p3)))
+    n = int(live_rows) * LANES
+    ko, o1 = np.asarray(ko), np.asarray(o1)
+    out_live = ko[:n] != SENTINEL
+    np.testing.assert_array_equal(np.sort(o1[:n][out_live]),
+                                  np.sort(p1[valid]))
+    order_got = np.argsort(o1[:n][out_live])
+    order_want = np.argsort(p1[valid])
+    np.testing.assert_array_equal(ko[:n][out_live][order_got],
+                                  k[valid][order_want])
+
+
 def test_merge_sort_with_compact_matches_lax():
     """End-to-end: compact=True merge_sort equals lax.sort on the live set
     (interpret mode, bench-shaped sentinel fraction)."""

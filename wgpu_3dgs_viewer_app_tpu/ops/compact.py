@@ -26,14 +26,16 @@ Design (no gathers, no scatters — TPU has neither):
     per column, and clearing deficit bits low-to-high keeps them
     conflict-free (classic packing-network argument; exhaustively
     checked against a numpy oracle in tests/test_compact.py).
-  * Each cell's packed height is its column maximum (data-dependent).
-    Cells write their full CROWS-row block at a cumsum row offset,
-    DELIBERATELY OVERLAPPING the next cell's region; a per-cell DMA
-    completion chain (cell c issues only after c-1 completed) makes the
-    later cell's live rows overwrite the earlier cell's dead tail, so
-    arbitrary 8-row-aligned offsets need no ragged-size DMAs. The chain
-    costs ~2.6 us/cell of enforced ordering, hidden behind the ~10 us
-    cell compute.
+  * Each cell's packed height is its column maximum (data-dependent,
+    8-row aligned). Cells write EXACTLY their packed rows to a cumsum
+    row offset as a BINARY DECOMPOSITION of the dynamic height: one
+    conditional fixed-size DMA per set bit (<= 8 per plane). Output
+    regions are disjoint, so the DMAs pipeline freely across cells with
+    only the standard depth-2 scratch-reuse wait — no cross-cell
+    ordering chain. (A first cut wrote full CROWS-row blocks at packed
+    offsets, deliberately overlapping the next cell and serializing on a
+    completion chain; the chain's per-cell latency was comparable to the
+    butterfly compute and this variant replaced it.)
   * Offsets come from a cheap XLA prepass (column sums -> per-cell max
     -> cumsum), prefetched as scalars.
 
@@ -46,6 +48,7 @@ sentinels on load and skips dead blocks entirely.
 from __future__ import annotations
 
 import functools
+import os as _os
 
 import jax
 import jax.numpy as jnp
@@ -59,17 +62,23 @@ SENTINEL = 0xFFFFFFFF
 # column-max slack (relative sd of a 256-splat column sum shrinks as
 # 1/sqrt(rows)): ~12% residual slack at 1024 rows vs ~23% at 512 on the
 # bench scene's ~56% live fraction. VMEM: 4 in planes (double-buffered) +
-# 2x4 out scratch = 8 MB at 1024 rows.
-CROWS = 1024
+# 2x4 out scratch = 8 MB at 1024 rows. Env override is a bench A/B knob;
+# the CPU test suite also sets it small (conftest) — the butterfly and
+# packing logic are CROWS-generic and interpret mode scales quadratically.
+CROWS = int(_os.environ.get("GS_COMPACT_CROWS", "1024"))
+assert CROWS >= 8 and (CROWS & (CROWS - 1)) == 0, (
+    f"GS_COMPACT_CROWS must be a power of two >= 8, got {CROWS}"
+)
 
 
 def plan_compact(keys: jnp.ndarray):
     """XLA prepass: per-cell packed row offsets from column live counts.
 
     keys: flat (E,) u32 with E a CROWS*LANES multiple. Returns
-    (off8, live_rows): off8 (ncells,) i32 8-row-aligned output row offset
-    per cell, live_rows scalar i32 = total packed rows (the live prefix
-    height; everything at/after it in the output is dead).
+    (off8, live_rows): off8 (ncells + 1,) i32 8-row-aligned output row
+    offsets (off8[c+1] - off8[c] = cell c's packed height), live_rows
+    scalar i32 = off8[-1], the total live-prefix height; everything
+    at/after it in the output is dead.
     """
     rows = keys.shape[0] // LANES
     ncells = rows // CROWS
@@ -78,9 +87,9 @@ def plan_compact(keys: jnp.ndarray):
     rmax = jnp.max(ncol, axis=1)                # (ncells,)
     r8 = ((rmax + 7) // 8) * 8
     off8 = jnp.concatenate(
-        [jnp.zeros(1, jnp.int32), jnp.cumsum(r8)[:-1].astype(jnp.int32)]
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(r8).astype(jnp.int32)]
     )
-    return off8, off8[-1] + r8[-1]
+    return off8, off8[-1]
 
 
 def _compact_kernel(off_ref, k_ref, p1_ref, p2_ref, p3_ref,
@@ -121,40 +130,63 @@ def _compact_kernel(off_ref, k_ref, p1_ref, p2_ref, p3_ref,
         s *= 2
 
     slot = c % 2
+    out_refs = (ko_ref, p1o_ref, p2o_ref, p3o_ref)
+    sizes = [sz for sz in (1 << b for b in range(rows.bit_length(), 2, -1))
+             if sz <= rows]
+
+    def out_dmas(cc, sl):
+        """Exact-height output: one fixed-size DMA per set bit of the
+        cell's packed height (8-row aligned, <= `rows`), regions disjoint
+        across cells so the copies pipeline with no cross-cell ordering."""
+        orow = off_ref[cc]
+        nrows = off_ref[cc + 1] - orow
+        dmas = []
+        base = jnp.int32(0)
+        for bi, sz in enumerate(sizes):
+            take = (nrows & sz) != 0
+            for i in range(4):
+                dmas.append((take, pltpu.make_async_copy(
+                    scratch.at[sl, i, pl.ds(base, sz), :],
+                    out_refs[i].at[pl.ds(orow + base, sz), :],
+                    sems.at[sl, i, bi],
+                )))
+            base = base + (nrows & sz)
+        return dmas
+
+    def start_group(cc, sl):
+        for take, dma in out_dmas(cc, sl):
+            @pl.when(take)
+            def _(dma=dma):
+                dma.start()
+
+    def wait_group(cc, sl):
+        for take, dma in out_dmas(cc, sl):
+            @pl.when(take)
+            def _(dma=dma):
+                dma.wait()
+
+    # Depth-2 pipeline: slot c%2 was last used by cell c-2 — its copies
+    # must have landed BEFORE this cell overwrites that scratch slot.
+    cm2 = jnp.maximum(c - 2, 0)
+
+    @pl.when(c >= 2)
+    def _():
+        wait_group(cm2, cm2 % 2)
+
     for i, o in enumerate(ops):
         scratch[slot, i] = o
 
-    out_refs = (ko_ref, p1o_ref, p2o_ref, p3o_ref)
-
-    def out_dmas(cc, sl):
-        orow = off_ref[cc]
-        return [
-            pltpu.make_async_copy(
-                scratch.at[sl, i], out_refs[i].at[pl.ds(orow, rows), :],
-                sems.at[sl, i],
-            )
-            for i in range(4)
-        ]
-
-    # Ordering chain: cells write overlapping regions (full CROWS rows at
-    # packed offsets); issuing only after the previous cell's writes have
-    # landed makes "last writer wins" the correct packing. This also frees
-    # scratch slot c%2 (used by c-2, whose DMA completed before c-1's
-    # even started).
-    cm1 = jnp.maximum(c - 1, 0)
-
-    @pl.when(c >= 1)
-    def _():
-        for dma in out_dmas(cm1, cm1 % 2):
-            dma.wait()
-
-    for dma in out_dmas(c, slot):
-        dma.start()
+    start_group(c, slot)
 
     @pl.when(c == n - 1)
     def _():
-        for dma in out_dmas(c, slot):
-            dma.wait()
+        wait_group(c, slot)
+
+    cm1 = jnp.maximum(c - 1, 0)
+
+    @pl.when((c == n - 1) & (c >= 1))
+    def _():
+        wait_group(cm1, cm1 % 2)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -182,7 +214,8 @@ def compact_entries(keys, p1, p2, p3, interpret: bool = False):
         out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4,
         scratch_shapes=[
             pltpu.VMEM((2, 4, CROWS, LANES), jnp.uint32),
-            pltpu.SemaphoreType.DMA((2, 4)),
+            pltpu.SemaphoreType.DMA(
+                (2, 4, max(1, CROWS.bit_length() - 3))),
         ],
     )
     outs = pl.pallas_call(

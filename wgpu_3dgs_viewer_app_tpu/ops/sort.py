@@ -799,66 +799,89 @@ def _merge_kernel(meta_ref, ka_ref, p1a_ref, p2a_ref, p3a_ref,
 
         lenw = meta_ref[_M_LENW, c]
         lenb = lenw - lena
-        # Chunks whose rank window is clipped at the pair's capacity have
-        # chunk - lenw garbage slots; they must be padded with values that
-        # keep S bitonic AND sort into the spill rows: ASC cells pad +inf at
-        # the PEAK (between the ascending A piece and descending B piece —
-        # +inf after B would add a third monotone segment); DESC cells pad
-        # -inf after B (the valley). Both pads land in the spill rows of the
-        # output (the real window is a whole number of rows).
-        b_off = jnp.where(asc, CHUNK - lenb, lena)
-        in_b = (e_iota >= b_off) & (e_iota < b_off + lenb)
-        pad_key = jnp.where(asc, jnp.int32(0x7FFFFFFF), jnp.int32(-0x80000000))
-        ops = []
-        for op in range(4):
-            pa = _cyclic_shift_left(pieces[slot, 0, op], a_delta)[:CHUNK_ROWS]
-            # Realign (left by b_delta) and rotate-into-position (right by
-            # b_off) compose into ONE cyclic shift of the raw piece: live
-            # entries e in [b_off, b_off+lenb) need piece[e - b_off +
-            # b_delta], which is in [0, _NR*LANES) — everything outside the
-            # window is masked below, so the differing moduli don't matter.
-            pb = _cyclic_shift_left(
-                pieces[slot, 1, op], (b_delta - b_off) % (_NR * LANES)
-            )[:CHUNK_ROWS]
-            if op == 0:
-                s = jnp.where(e_iota < lena, _to_ord(pa),
-                              jnp.where(in_b, _to_ord(pb), pad_key))
-            else:
-                s = jnp.where(e_iota < lena, pa, pb)
-            ops.append(s)
+        # Pass-through fast path: the whole rank window comes from a
+        # row-aligned A piece (lenb == 0, a_delta == 0). A's direction
+        # always matches the output direction (pair runs alternate), so the
+        # piece is already sorted — skip the 16-stage network and copy.
+        # With pre-sort compaction the final level routinely merges the
+        # fully-merged run 0 against an empty run (live runs < static
+        # runs), making this the whole final level; interior boundary
+        # cells hit it too. Garbage slots beyond lenw land at ranks >= the
+        # pair capacity, i.e. in spill rows past `stored` — never read.
+        fast = (lenb == 0) & (a_delta == 0)
 
-        # Bitonic merge of [asc piece | desc piece] in the output direction.
-        # Strides >= LANES ride cheap sublane rolls in row-major order; for
-        # the 7 small strides, transpose each 128x128 tile so they ride
-        # sublane rolls too (cross-lane rolls measure ~4x slower — the same
-        # trade that cut phase 1 30.8 -> 17.5 ms), then transpose back for
-        # the row-major output DMA. A stride-j<128 partner stays inside its
-        # 128-entry group, so per-tile transposes never split a pair.
-        def stage(ops, j, lane_major):
-            k = ops[0]
-            pk, is_lower = _partner(k, j, lane_iota, row_iota, lane_major)
-            want_min = is_lower == asc
-            knew = jnp.where(want_min, jnp.minimum(k, pk), jnp.maximum(k, pk))
-            swap = knew != k
-            nxt = [knew]
-            for pvals in ops[1:]:
-                pp, _ = _partner(pvals, j, lane_iota, row_iota, lane_major)
-                nxt.append(jnp.where(swap, pp, pvals))
-            return nxt
+        @pl.when(fast)
+        def _():
+            for op in range(4):
+                outbuf[oslot, op] = pieces[slot, 0, op][:CHUNK_ROWS]
 
-        j = CHUNK // 2
-        while j >= LANES:
-            ops = stage(ops, j, False)
-            j //= 2
-        ops = [_transpose_tiles(o, LANES) for o in ops]
-        while j >= 1:
-            ops = stage(ops, j, True)
-            j //= 2
-        ops = [_transpose_tiles(o, LANES) for o in ops]
+        @pl.when(jnp.logical_not(fast))
+        def _():
+            # Chunks whose rank window is clipped at the pair's capacity
+            # have chunk - lenw garbage slots; they must be padded with
+            # values that keep S bitonic AND sort into the spill rows: ASC
+            # cells pad +inf at the PEAK (between the ascending A piece and
+            # descending B piece — +inf after B would add a third monotone
+            # segment); DESC cells pad -inf after B (the valley). Both pads
+            # land in the spill rows of the output (the real window is a
+            # whole number of rows).
+            b_off = jnp.where(asc, CHUNK - lenb, lena)
+            in_b = (e_iota >= b_off) & (e_iota < b_off + lenb)
+            pad_key = jnp.where(asc, jnp.int32(0x7FFFFFFF),
+                                jnp.int32(-0x80000000))
+            ops = []
+            for op in range(4):
+                pa = _cyclic_shift_left(pieces[slot, 0, op], a_delta)[:CHUNK_ROWS]
+                # Realign (left by b_delta) and rotate-into-position (right
+                # by b_off) compose into ONE cyclic shift of the raw piece:
+                # live entries e in [b_off, b_off+lenb) need piece[e - b_off
+                # + b_delta], which is in [0, _NR*LANES) — everything
+                # outside the window is masked below, so the differing
+                # moduli don't matter.
+                pb = _cyclic_shift_left(
+                    pieces[slot, 1, op], (b_delta - b_off) % (_NR * LANES)
+                )[:CHUNK_ROWS]
+                if op == 0:
+                    s = jnp.where(e_iota < lena, _to_ord(pa),
+                                  jnp.where(in_b, _to_ord(pb), pad_key))
+                else:
+                    s = jnp.where(e_iota < lena, pa, pb)
+                ops.append(s)
 
-        outbuf[oslot, 0] = _from_ord(ops[0])
-        for op in range(1, 4):
-            outbuf[oslot, op] = ops[op]
+            # Bitonic merge of [asc piece | desc piece] in the output
+            # direction. Strides >= LANES ride cheap sublane rolls in
+            # row-major order; for the 7 small strides, transpose each
+            # 128x128 tile so they ride sublane rolls too (cross-lane rolls
+            # measure ~4x slower — the same trade that cut phase 1
+            # 30.8 -> 17.5 ms), then transpose back for the row-major
+            # output DMA. A stride-j<128 partner stays inside its 128-entry
+            # group, so per-tile transposes never split a pair.
+            def stage(ops, j, lane_major):
+                k = ops[0]
+                pk, is_lower = _partner(k, j, lane_iota, row_iota, lane_major)
+                want_min = is_lower == asc
+                knew = jnp.where(want_min, jnp.minimum(k, pk),
+                                 jnp.maximum(k, pk))
+                swap = knew != k
+                nxt = [knew]
+                for pvals in ops[1:]:
+                    pp, _ = _partner(pvals, j, lane_iota, row_iota, lane_major)
+                    nxt.append(jnp.where(swap, pp, pvals))
+                return nxt
+
+            j = CHUNK // 2
+            while j >= LANES:
+                ops = stage(ops, j, False)
+                j //= 2
+            ops = [_transpose_tiles(o, LANES) for o in ops]
+            while j >= 1:
+                ops = stage(ops, j, True)
+                j //= 2
+            ops = [_transpose_tiles(o, LANES) for o in ops]
+
+            outbuf[oslot, 0] = _from_ord(ops[0])
+            for op in range(1, 4):
+                outbuf[oslot, op] = ops[op]
 
     @pl.when(noop == 0)
     def _():
