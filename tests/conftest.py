@@ -23,6 +23,13 @@ if not _TPU_RUN:
     os.environ.setdefault("GS_SORT_BLOCK_ROWS", "128")
     os.environ.setdefault("GS_MERGE_CHUNK_ROWS", "256")
     os.environ.setdefault("GS_COMPACT_CROWS", "128")
+    # The TPU-tuned split-search defaults (binary + interpolation pre-round,
+    # 2026-08-21) multiply interpret-mode sort cost for zero extra branch
+    # coverage; pin the cheap search here. The interp/binary path itself is
+    # covered explicitly by test_sort.py::test_split_interp_interpret via
+    # module-level monkeypatching.
+    os.environ.setdefault("GS_SORT_SPLIT_ARY", "4")
+    os.environ.setdefault("GS_SORT_SPLIT_INTERP", "0")
     os.environ["JAX_PLATFORMS"] = "cpu"  # force: ambient env may say axon/tpu
     flags = os.environ.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:

@@ -112,6 +112,26 @@ def test_merge_sort_interpret(e, frac, span, fuse):
     _check(k, p1, p2, p3, *outs)
 
 
+def test_split_interp_interpret(monkeypatch):
+    """TPU-default split search (binary + interpolation pre-round +
+    early-exit while_loop, 2026-08-21) on CPU: the conftest pins the cheap
+    bisection search for suite speed, so this test re-enables the interp
+    path at module level and runs one multi-level merge with heavy key
+    TIES (span=4) — the adversarial case where the proportional estimate
+    is useless and correctness must come from the guaranteed bisection
+    rounds. e is unique to this test so the jit cache cannot serve a trace
+    made under the pinned constants."""
+    from wgpu_3dgs_viewer_app_tpu.ops import sort as S
+
+    monkeypatch.setattr(S, "SPLIT_INTERP", True)
+    monkeypatch.setattr(S, "SPLIT_ARY", 2)
+    e = 6 * BLOCK
+    k, p1, p2, p3 = _mk(e, 0.3, 4, seed=11)
+    outs = merge_sort(*(jnp.asarray(a) for a in (k, p1, p2, p3)),
+                      interpret=True)
+    _check(k, p1, p2, p3, *outs)
+
+
 @pytest.mark.slow
 def test_merge_sort_max_levels_truncation():
     """max_levels (bench instrumentation) runs a PREFIX of the level loop:

@@ -261,8 +261,14 @@ def _transpose_tiles(x, block_rows: int):
 
 # Rows per grid cell (CELL_ROWS / BLOCK_ROWS tiles per cell — 2 at the
 # default 256-row blocks): 512 rows keep stage ops at 64 vregs; in+out
-# double-buffered cells at 1024 rows overflow the 16 MB VMEM stack.
-CELL_ROWS = 512
+# double-buffered cells at 1024 rows overflowed the 16 MB VMEM stack when
+# measured round 3 (pre mixed-layout rewrite) — env knob for hardware A/B
+# now that pre-sort compaction changed the trade (each extra in-cell merge
+# pass deletes one whole HBM merge level).
+CELL_ROWS = int(_os.environ.get("GS_SORT_CELL_ROWS", "512"))
+assert CELL_ROWS >= 8 and (CELL_ROWS & (CELL_ROWS - 1)) == 0, (
+    f"GS_SORT_CELL_ROWS must be a power of two >= 8, got {CELL_ROWS}"
+)
 
 # Fuse the first merge level(s) into the phase-1 kernel: the grid cell
 # already holds CELL_ROWS/BLOCK_ROWS sorted blocks in VMEM, so merging
@@ -553,6 +559,31 @@ assert CHUNK_ROWS >= 8 and (CHUNK_ROWS & (CHUNK_ROWS - 1)) == 0, (
 )
 CHUNK = CHUNK_ROWS * LANES  # entries per merge grid cell
 _NR = CHUNK_ROWS + 8  # piece DMA rows: +1 for unaligned pieces, 8-aligned
+
+# Split-search fan-out (candidates per serial probe round = SPLIT_ARY - 1).
+# Hardware A/B 2026-08-21 (in-frame, merge levels total at E=24M): ary 4
+# 21.9 ms, ary 8 26.8, ary 16 33.0, ary 32 46.1 — per-CANDIDATE cost
+# dominates (each probed candidate behaves like an independent ~13 us
+# gather, not a free rider on a latency-bound round), so wider fan-outs
+# are a measured dead end, and with the interpolation pre-round +
+# early-exit below (which shrink the serial round count a different way)
+# plain BISECTION is the cheapest finisher: in-frame totals 37.8/38.4 ms
+# for ary 2/4 with interp+sharing. The 2026-08-19 "4-ary halved the
+# search" note predates interp; it no longer holds.
+SPLIT_ARY = int(_os.environ.get("GS_SORT_SPLIT_ARY", "2"))
+assert SPLIT_ARY >= 2, SPLIT_ARY
+
+# Interpolation pre-round + early-exit rounds for the split search. Sort
+# keys are close to uniformly drawn for both runs of a pair (same global
+# tile/depth distribution), so the merge path passes near the proportional
+# point a0 ~ r * |A| / (|A| + |B|) with hypergeometric spread
+# sd <= sqrt(min(r, |A|)) / 2: one 3-candidate probe round around that
+# estimate collapses the interval from run size to ~sd, and the remaining
+# bisection runs under a lax.while_loop that stops as soon as EVERY cell's
+# interval is closed (typical: ~5 rounds total instead of the static
+# worst-case 15; the worst case stays available for adversarial keys, so
+# correctness never depends on the distribution).
+SPLIT_INTERP = _os.environ.get("GS_SORT_SPLIT_INTERP", "1") not in ("0", "false")
 # meta columns
 (_M_NOOP, _M_DIR, _M_AROW, _M_ADELTA, _M_BROW, _M_BDELTA, _M_LENA, _M_OROW,
  _M_LENW) = range(9)
@@ -614,57 +645,97 @@ def _ragged_level_meta(keys, starts_rows, stored, live, ncells: int,
     r1c = jnp.clip(r0 + CHUNK, 0, capp)
     a_bp, b_bp = a_base[p], b_base[p]
 
-    def split(r):
-        """#entries from run A among the first r ranks of the pair (bottom
-        ranks for asc cells, top ranks for desc), capacities included.
-        Called once on the stacked (r0 ++ r1) boundary vector so both
-        searches share one fori_loop."""
-        asc2 = jnp.concatenate([asc, asc])
-        sap2 = jnp.concatenate([sap, sap])
-        sbp2 = jnp.concatenate([sbp, sbp])
-        a_bp2 = jnp.concatenate([a_bp, a_bp])
-        b_bp2 = jnp.concatenate([b_bp, b_bp])
+    def split(r, pidx):
+        """#entries from run A among the first r ranks of pair `pidx[i]`
+        (bottom ranks for asc cells, top ranks for desc), capacities
+        included. Called once on the full boundary vector so every search
+        shares one fori_loop."""
+        asc2 = (pidx % 2) == 0
+        sap2 = sa[pidx]
+        sbp2 = sb[pidx]
+        a_bp2 = a_base[pidx]
+        b_bp2 = b_base[pidx]
         lo = jnp.maximum(0, r - sbp2)
         hi = jnp.minimum(r, sap2)
 
-        def body(_, lohi):
-            """4-ary narrowing (hw-measured 2026-08-19: a batched probe
-            round is LATENCY-bound at ~40 us regardless of gather width,
-            so 3 candidates per round cost the same as 1 and HALVE the
-            serial round count — the split search was ~25% of the merge
-            phase). The probe predicate is monotone non-increasing in m:
-            for asc cells va = A[m] rises while vb walks B's tail upward
-            (B is stored DESCENDING — pair runs alternate direction), so
-            vb falls; the desc case mirrors both."""
-            lo, hi = lohi
-            alive = lo < hi
-            w = hi - lo
-            m3 = jnp.stack([lo + (w * j) // 4 for j in (1, 2, 3)])  # (3, Q)
-            ia = jnp.where(asc2, a_bp2 + m3, a_bp2 + sap2 - 1 - m3)
-            ib = jnp.where(asc2, b_bp2 + sbp2 - (r - m3), b_bp2 + (r - m3) - 1)
-            va = keys[jnp.clip(ia, 0, e_alloc - 1)]  # ONE (3, Q) gather
+        def probe(lo, hi, mk):
+            """Monotone narrowing on candidate matrix mk ((k, Q), any
+            values): a probe at m is a global half-space constraint on the
+            true split (take -> a0 >= m+1, reject -> a0 <= m), so any
+            candidate inside [lo, hi) tightens the interval; rows outside
+            it are masked out. The probe predicate is monotone
+            non-increasing in m: for asc cells va = A[m] rises while vb
+            walks B's tail upward (B is stored DESCENDING — pair runs
+            alternate direction), so vb falls; the desc case mirrors
+            both. Per-candidate cost dominates per-round cost on this
+            platform (hw 2026-08-21: in-frame merge-levels total at ary
+            4/8/16/32 = 21.9/26.8/33.0/46.1 ms), so rounds stay narrow and
+            the win comes from FEWER EFFECTIVE ROUNDS (interpolation +
+            early exit below)."""
+            ok = (mk >= lo) & (mk < hi)
+            mc = jnp.clip(mk, 0, jnp.maximum(hi - 1, 0))
+            ia = jnp.where(asc2, a_bp2 + mc, a_bp2 + sap2 - 1 - mc)
+            ib = jnp.where(asc2, b_bp2 + sbp2 - (r - mc), b_bp2 + (r - mc) - 1)
+            va = keys[jnp.clip(ia, 0, e_alloc - 1)]  # ONE (k, Q) gather
             vb = keys[jnp.clip(ib, 0, e_alloc - 1)]
             take = jnp.where(asc2, va <= vb, va >= vb)
-            new_lo, new_hi = lo, hi
-            # Monotone takes: the largest true m advances lo, the smallest
-            # false m caps hi.
-            for j in range(3):
-                new_lo = jnp.where(take[j], m3[j] + 1, new_lo)
-                new_hi = jnp.where(take[j], new_hi, jnp.minimum(new_hi, m3[j]))
-            new_lo = jnp.where(alive, new_lo, lo)
-            new_hi = jnp.where(alive, new_hi, hi)
-            return new_lo, new_hi
+            for j in range(mk.shape[0]):
+                lo = jnp.where(ok[j] & take[j], mc[j] + 1, lo)
+                hi = jnp.where(ok[j] & ~take[j], jnp.minimum(hi, mc[j]), hi)
+            return lo, hi
+
+        if SPLIT_INTERP:
+            # Proportional estimate + 3*sd bracket (see SPLIT_INTERP note).
+            # f32 rounding of r*(sap/cap) is ~2 ulp at 24M — inside the
+            # bracket. A missed bracket (adversarial keys) just leaves a
+            # one-sided interval for the bisection rounds below.
+            capf = jnp.maximum(sap2 + sbp2, 1).astype(jnp.float32)
+            prop = (r.astype(jnp.float32)
+                    * (sap2.astype(jnp.float32) / capf)).astype(jnp.int32)
+            w0f = jnp.maximum(hi - lo, 0).astype(jnp.float32)
+            d3 = (1.5 * jnp.sqrt(w0f)).astype(jnp.int32) + 8
+            mk = jnp.stack([prop - d3, prop, prop + d3])
+            lo, hi = probe(lo, hi, mk)
 
         # The interval [lo, hi] starts no wider than the smaller run
-        # (< 2^n_iters); each 4-ary round divides the width by ~4 (+1 for
-        # rounding), so ceil(n_iters/2) + 2 rounds close it.
-        rounds = (n_iters + 1) // 2 + 2
-        lo, hi = jax.lax.fori_loop(0, rounds, body, (lo, hi))
+        # (< 2^n_iters); each k-ary round divides the width by ~k (+1 for
+        # rounding), so ceil(n_iters / log2(k)) + 2 rounds close every
+        # cell even if the interpolation bracket missed. The while_loop
+        # exits as soon as all intervals are closed (typical frames: ~4-5
+        # rounds — the bracket leaves ~2*sd entries).
+        kbits = max(1, SPLIT_ARY.bit_length() - 1)
+        rounds = -(-n_iters // kbits) + 2
+
+        def cond(state):
+            i, lo, hi = state
+            return (i < rounds) & jnp.any(lo < hi)
+
+        def body(state):
+            i, lo, hi = state
+            w = hi - lo
+            mk = jnp.stack([lo + (w * j) // SPLIT_ARY
+                            for j in range(1, SPLIT_ARY)])  # (k-1, Q)
+            lo, hi = probe(lo, hi, mk)
+            return i + 1, lo, hi
+
+        _, lo, hi = jax.lax.while_loop(cond, body, (jnp.int32(0), lo, hi))
         return lo
 
-    a01 = split(jnp.concatenate([r0c, r1c]))
-    a0 = a01[: r0c.shape[0]]
-    a1 = a01[r0c.shape[0]:]
+    # Boundary sharing (hw 2026-08-21): consecutive chunks of a pair abut —
+    # cell c's upper rank boundary IS cell c+1's lower one — so only each
+    # cell's r0 plus one final r1 per PAIR needs a search: Q drops from
+    # 2*ncells to ncells + npairs (~-45% of the probe gathers, which price
+    # per candidate, not per round — see SPLIT_ARY note).
+    pair_ids = jnp.arange(npairs_l, dtype=jnp.int32)
+    wb_pair = jnp.where((pair_ids % 2) == 0, 0, cap - out_stored)
+    r1_pair = jnp.clip(wb_pair + nch * CHUNK, 0, cap)
+    res = split(jnp.concatenate([r0c, r1_pair]),
+                jnp.concatenate([p, pair_ids]))
+    a0 = res[:ncells]
+    # Non-final chunks take the next cell's a0 (same pair, same boundary);
+    # each pair's final chunk takes the pair-level r1 search result.
+    is_last = q == (nch[p] - 1)
+    a1 = jnp.where(is_last, res[ncells:][p], jnp.roll(a0, -1))
     lena = a1 - a0
     b0 = r0c - a0
     b1 = r1c - a1
